@@ -1,0 +1,98 @@
+"""Command-line interface: `malva index | call | run`.
+
+Flag names/defaults mirror the reference CLI (reference:
+argument_parser.hpp:31-67, MALVA:17-38).  `run` is the end-to-end driver
+replacing the MALVA shell script + external KMC: count sample k-mers,
+build the index (reusing an existing index file like MALVA:113-118
+intended to), and call genotypes to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .pipeline import build_index, call, load_index, save_index
+from .utils.config import Config
+from .utils.timing import PhaseTimer
+
+
+def _parser(prog: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, add_help=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("index", "call", "run"):
+        sp = sub.add_parser(name)
+        sp.add_argument("-k", "--kmer-size", type=int, default=35)
+        sp.add_argument("-r", "--ref-kmer-size", type=int, default=43)
+        sp.add_argument("-e", "--error-rate", type=float, default=0.001)
+        sp.add_argument("-s", "--samples", default="-")
+        sp.add_argument("-f", "--freq-key", default="AF")
+        sp.add_argument("-c", "--max-coverage", type=int, default=200)
+        sp.add_argument("-b", "--bf-size", type=int, default=4, help="bloom filter size in GB")
+        sp.add_argument("-p", "--strip-chr", action="store_true")
+        sp.add_argument("-u", "--uniform", action="store_true")
+        sp.add_argument("-v", "--verbose", action="store_true")
+        sp.add_argument("-1", "--haploid", action="store_true", dest="haploid")
+        sp.add_argument("reference")
+        sp.add_argument("variants")
+        sp.add_argument("sample", help="reads file, FASTA/FASTQ (.gz ok)")
+    return p
+
+
+def _config(args: argparse.Namespace) -> Config:
+    return Config(
+        fasta_path=args.reference,
+        vcf_path=args.variants,
+        sample_path=args.sample,
+        k=args.kmer_size,
+        ref_k=args.ref_kmer_size,
+        error_rate=np.float32(args.error_rate),
+        samples=args.samples,
+        freq_key=args.freq_key,
+        max_coverage=args.max_coverage,
+        bf_size=Config.bf_gb_to_bits(args.bf_size),
+        strip_chr=args.strip_chr,
+        uniform=args.uniform,
+        verbose=args.verbose,
+        haploid=args.haploid,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser("malva-tpu").parse_args(argv)
+    cfg = _config(args)
+    timer = PhaseTimer()
+
+    if args.cmd == "index":
+        index = build_index(cfg, timer)
+        save_index(index, cfg.index_path())
+        timer.pelapsed("Index saved")
+        return 0
+
+    if args.cmd == "call":
+        path = cfg.index_path()
+        if not os.path.exists(path):
+            print(f"ERROR: index file {path} not found (run `index` first)", file=sys.stderr)
+            return 1
+        index = load_index(path)
+        timer.pelapsed("Index loaded")
+        call(cfg, index, sys.stdout, timer)
+        return 0
+
+    # run: end to end, in process
+    path = cfg.index_path()
+    if os.path.exists(path):
+        print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
+        index = load_index(path)
+    else:
+        index = build_index(cfg, timer)
+    call(cfg, index, sys.stdout, timer)
+    timer.pelapsed("Execution completed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

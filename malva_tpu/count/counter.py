@@ -1,0 +1,126 @@
+"""Streaming sample k-mer counting — the KMC replacement.
+
+Reproduces the *effective* contract the reference consumes from a
+default-flags KMC run (reference: MALVA:107 `kmc -m4 -k<refk> -t1 -fm`,
+consumed at main.cpp:488-500): the distinct **canonical** ref_k-mers of
+the read set, restricted to windows of pure A/C/G/T (KMC skips k-mers
+containing any other symbol), with
+
+* k-mers occurring fewer than ``ci`` times excluded (KMC default ci=2),
+* counters saturated at ``cs`` (KMC default cs=255).
+
+Counting is exact two-stage (count -> threshold/cap), not direct
+accumulation, because the ci/cs effects are not linear.
+
+The host path packs canonical k-mers 2 bits/base and counts by
+sort + run-length over uint64 word columns; chunks are merged so memory
+stays bounded for arbitrarily large read sets.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterable
+
+import numpy as np
+
+from ..io.fasta import iter_read_batches
+from ..ops.seq import CODE_TABLE, canonical, pack_2bit, unpack_2bit, upper
+
+
+def _windows_of_read(seq: bytes, k: int) -> np.ndarray:
+    """All pure-ACGT k-windows of one read as (n, k) uint8 (uppercased)."""
+    a = upper(np.frombuffer(seq, dtype=np.uint8))
+    if len(a) < k:
+        return np.zeros((0, k), dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(a, k)
+    valid_base = CODE_TABLE[a] != 255
+    # window valid iff all k bases valid: prefix-sum trick
+    cs = np.concatenate([[0], np.cumsum(valid_base)])
+    ok = (cs[k:] - cs[:-k]) == k
+    return win[ok]
+
+
+def _sorted_counts(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort (N, W) uint64 rows lexicographically and run-length count."""
+    if packed.shape[0] == 0:
+        return packed, np.zeros(0, dtype=np.int64)
+    order = np.lexsort(tuple(packed[:, w] for w in range(packed.shape[1] - 1, -1, -1)))
+    s = packed[order]
+    diff = np.any(s[1:] != s[:-1], axis=1)
+    starts = np.concatenate([[0], np.nonzero(diff)[0] + 1])
+    ends = np.concatenate([starts[1:], [s.shape[0]]])
+    return s[starts], (ends - starts).astype(np.int64)
+
+
+def _merge_runs(
+    keys_a: np.ndarray, cnt_a: np.ndarray, keys_b: np.ndarray, cnt_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two sorted distinct-key runs, summing counts."""
+    if keys_a.shape[0] == 0:
+        return keys_b, cnt_b
+    if keys_b.shape[0] == 0:
+        return keys_a, cnt_a
+    keys = np.concatenate([keys_a, keys_b])
+    cnts = np.concatenate([cnt_a, cnt_b])
+    order = np.lexsort(tuple(keys[:, w] for w in range(keys.shape[1] - 1, -1, -1)))
+    keys = keys[order]
+    cnts = cnts[order]
+    diff = np.any(keys[1:] != keys[:-1], axis=1)
+    starts = np.concatenate([[0], np.nonzero(diff)[0] + 1])
+    seg = np.concatenate([starts[1:], [keys.shape[0]]])
+    summed = np.add.reduceat(cnts, starts)
+    return keys[starts], summed
+
+
+def count_reads_kmers(
+    reads_path: str,
+    ref_k: int,
+    ci: int = 2,
+    cs: int = 255,
+    chunk_kmers: int = 1 << 24,
+    log=sys.stderr,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Count canonical ref_k-mers of a FASTA/FASTQ file.
+
+    Returns (contexts, counts): contexts is (M, ref_k) uint8 ASCII of the
+    distinct canonical k-mers with ci <= count, counts is (M,) uint32
+    saturated at cs.
+    """
+    acc_keys = np.zeros((0, (ref_k + 31) // 32), dtype=np.uint64)
+    acc_cnts = np.zeros(0, dtype=np.int64)
+    pending: list[np.ndarray] = []
+    pending_n = 0
+    total_windows = 0
+
+    def flush():
+        nonlocal acc_keys, acc_cnts, pending, pending_n
+        if not pending:
+            return
+        block = np.concatenate(pending, axis=0)
+        pending = []
+        pending_n = 0
+        packed = pack_2bit(canonical(block))
+        keys, cnts = _sorted_counts(packed)
+        acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
+
+    for batch in iter_read_batches(reads_path):
+        for seq in batch:
+            w = _windows_of_read(seq, ref_k)
+            if w.shape[0]:
+                pending.append(w)
+                pending_n += w.shape[0]
+                total_windows += w.shape[0]
+            if pending_n >= chunk_kmers:
+                flush()
+    flush()
+
+    keep = acc_cnts >= ci
+    keys = acc_keys[keep]
+    counts = np.minimum(acc_cnts[keep], cs).astype(np.uint32)
+    print(
+        f"[malva-tpu/count] {total_windows} k-mer occurrences, "
+        f"{acc_cnts.shape[0]} distinct, {keys.shape[0]} past ci={ci}",
+        file=log,
+    )
+    return unpack_2bit(keys, ref_k), counts

@@ -1,0 +1,88 @@
+"""FASTA/FASTQ host readers (plain or gzip).
+
+Mirrors the reference's use of kseq (reference: kseq.h, instantiated at
+main.cpp:117; read loop main.cpp:285-295): record name = text after
+'>'/'@' up to the first whitespace; sequence lines concatenated;
+FASTA/FASTQ auto-detected per record.  Reference contigs are uppercased
+and optionally have a leading "chr" stripped from their names.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+import numpy as np
+
+from ..ops.seq import upper
+
+
+def _open(path: str):
+    f = open(path, "rb")
+    if f.read(2) == b"\x1f\x8b":
+        f.seek(0)
+        return gzip.open(f, "rb")
+    f.seek(0)
+    return f
+
+
+def iter_sequences(path: str) -> Iterator[tuple[str, bytes]]:
+    """Yield (name, raw_sequence_bytes) per record, FASTA or FASTQ."""
+    with _open(path) as f:
+        name = None
+        seq_parts: list[bytes] = []
+        fastq_mode = False
+        in_qual = False
+        qual_len = 0
+        seq_len = 0
+        for raw in f:
+            line = raw.rstrip(b"\r\n")
+            if not line and name is None:
+                continue
+            first = line[:1]
+            if in_qual:
+                qual_len += len(line)
+                if qual_len >= seq_len:
+                    in_qual = False
+                continue
+            if first == b"+" and fastq_mode:
+                in_qual = True
+                seq_len = sum(map(len, seq_parts))
+                qual_len = 0
+                continue
+            if first in (b">", b"@"):
+                if name is not None:
+                    yield name, b"".join(seq_parts)
+                name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                seq_parts = []
+                fastq_mode = first == b"@"
+                continue
+            if name is not None:
+                seq_parts.append(line)
+        if name is not None:
+            yield name, b"".join(seq_parts)
+
+
+def load_reference(path: str, strip_chr: bool = False) -> dict[str, np.ndarray]:
+    """Load all contigs uppercased into {name: (L,) uint8} (main.cpp:283-295)."""
+    refs: dict[str, np.ndarray] = {}
+    for name, seq in iter_sequences(path):
+        if strip_chr and name.startswith("chr"):
+            name = name[3:]
+        refs[name] = upper(np.frombuffer(seq, dtype=np.uint8))
+    return refs
+
+
+def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[bytes]]:
+    """Yield lists of read sequences totalling ~batch_bases each."""
+    batch: list[bytes] = []
+    total = 0
+    for _name, seq in iter_sequences(path):
+        batch.append(seq)
+        total += len(seq)
+        if total >= batch_bases:
+            yield batch
+            batch = []
+            total = 0
+    if batch:
+        yield batch

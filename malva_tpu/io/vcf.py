@@ -1,0 +1,219 @@
+"""Host VCF text reader/writer.
+
+Replaces the reference's use of htslib (reference: main.cpp:261-272,
+variant.hpp:126-211) with a pure-Python text parser that mirrors the
+observable htslib behaviors the pipeline depends on:
+
+* ``bcf_hdr_set_samples("-")`` selects all samples; a file path selects the
+  listed sample names (main.cpp:264-266).
+* GT arrays are laid out like htslib's ``bcf_get_genotypes``: per record a
+  flat array of ``n_samples * max_ploidy`` encoded ints, where each allele
+  is ``(allele+1) << 1 | phased`` (missing '.' encodes to 0, i.e. allele
+  -1) and samples with fewer alleles than max_ploidy are padded with the
+  ``VECTOR_END`` sentinel.  The phase bit of an allele reflects the
+  separator *preceding* it ('|' vs '/').
+* INFO Type=Float values are parsed to float32 (htslib stores float).
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+VECTOR_END = -(1 << 31)  # mirrors bcf_int32_vector_end's role as padding
+
+_GT_SPLIT = re.compile(r"([|/])")
+
+
+def _open_text(path: str):
+    f = open(path, "rb")
+    if f.read(2) == b"\x1f\x8b":
+        f.seek(0)
+        return gzip.open(f, "rt")
+    f.seek(0)
+    return open(path, "rt")
+
+
+# Cache of GT-string -> (encoded alleles tuple) since cohort VCFs repeat a
+# small alphabet of GT strings millions of times.
+_GT_CACHE: dict[str, tuple[int, ...]] = {}
+
+
+def _encode_gt(gt: str) -> tuple[int, ...]:
+    enc = _GT_CACHE.get(gt)
+    if enc is not None:
+        return enc
+    parts = _GT_SPLIT.split(gt)  # [a0, sep, a1, sep, a2, ...]
+    vals: list[int] = []
+    if parts[0] == "" and len(parts) > 1:
+        # leading separator ("|1"): its phase attaches to the first allele
+        vals.append(_enc_allele(parts[2], 1 if parts[1] == "|" else 0))
+        i = 3
+    else:
+        vals.append(_enc_allele(parts[0], 0))
+        i = 1
+    while i + 1 < len(parts):
+        vals.append(_enc_allele(parts[i + 1], 1 if parts[i] == "|" else 0))
+        i += 2
+    enc = tuple(vals)
+    if len(_GT_CACHE) < 1 << 20:
+        _GT_CACHE[gt] = enc
+    return enc
+
+
+def _enc_allele(token: str, phased: int) -> int:
+    if token == "." or token == "":
+        return 0 | phased  # missing: bcf_gt_allele -> -1
+    return ((int(token) + 1) << 1) | phased
+
+
+@dataclass
+class VcfRecord:
+    chrom: str
+    pos0: int
+    idx: str
+    ref: str
+    alts_raw: list[str]
+    qual_raw: str
+    filt: str
+    info: str
+    fmt: Optional[str]
+    sample_fields: list[str]
+
+    def info_floats(self, key: str) -> Optional[list[np.float32]]:
+        """Float values of an INFO key, or None if absent (bcf_get_info_float)."""
+        for item in self.info.split(";"):
+            if item.startswith(key):
+                rest = item[len(key):]
+                if rest == "":
+                    return []
+                if rest[0] == "=":
+                    out = []
+                    for tok in rest[1:].split(","):
+                        try:
+                            out.append(np.float32(tok))
+                        except ValueError:
+                            out.append(np.float32("nan"))
+                    return out
+        return None
+
+    def qual(self) -> np.float32:
+        if self.qual_raw == "." or self.qual_raw == "":
+            return np.float32("nan")
+        return np.float32(self.qual_raw)
+
+    def genotypes_flat(self, selected: list[int]) -> Optional[tuple[list[int], int]]:
+        """htslib-like flat GT array over the selected samples.
+
+        Returns (flat encoded ints, max_ploidy) or None when the record
+        carries no GT data (mirrors bcf_get_genotypes(...) <= 0,
+        variant.hpp:169-174).
+        """
+        if self.fmt is None or not selected:
+            return None
+        fmt_keys = self.fmt.split(":")
+        try:
+            gt_at = fmt_keys.index("GT")
+        except ValueError:
+            return None
+        encs: list[tuple[int, ...]] = []
+        max_ploidy = 0
+        for si in selected:
+            f = self.sample_fields[si]
+            if gt_at == 0:
+                end = f.find(":")
+                gt = f if end < 0 else f[:end]
+            else:
+                gt = f.split(":")[gt_at]
+            enc = _encode_gt(gt)
+            encs.append(enc)
+            if len(enc) > max_ploidy:
+                max_ploidy = len(enc)
+        flat: list[int] = []
+        for enc in encs:
+            flat.extend(enc)
+            flat.extend([VECTOR_END] * (max_ploidy - len(enc)))
+        return flat, max_ploidy
+
+
+class VcfReader:
+    def __init__(self, path: str, samples: str = "-"):
+        self.path = path
+        self._fh = _open_text(path)
+        self.meta_lines: list[str] = []
+        self.sample_names: list[str] = []
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if line.startswith("##"):
+                self.meta_lines.append(line)
+            elif line.startswith("#CHROM"):
+                cols = line.split("\t")
+                if len(cols) > 9:
+                    self.sample_names = cols[9:]
+                break
+            else:
+                raise ValueError(f"malformed VCF header line: {line[:80]}")
+        # sample subsetting semantics of bcf_hdr_set_samples
+        if samples == "-":
+            self.selected = list(range(len(self.sample_names)))
+        else:
+            with open(samples) as sf:
+                wanted = [l.strip() for l in sf if l.strip()]
+            name_to_i = {n: i for i, n in enumerate(self.sample_names)}
+            missing = [w for w in wanted if w not in name_to_i]
+            if missing:
+                raise ValueError(f"samples not in VCF: {missing[:5]}")
+            self.selected = [name_to_i[w] for w in wanted]
+
+    def __iter__(self) -> Iterator[VcfRecord]:
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            cols = line.split("\t")
+            yield VcfRecord(
+                chrom=cols[0],
+                pos0=int(cols[1]) - 1,
+                idx=cols[2],
+                ref=cols[3],
+                alts_raw=cols[4].split(",") if cols[4] != "." else [],
+                qual_raw=cols[5],
+                filt=cols[6],
+                info=cols[7] if len(cols) > 7 else ".",
+                fmt=cols[8] if len(cols) > 8 else None,
+                sample_fields=cols[9:],
+            )
+        self._fh.close()
+
+
+GT_HDR = '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">'
+GQ_HDR = '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">'
+COVS_HDR = '##INFO=<ID=COVS,Number=R,Type=Integer,Description="Allele coverages">'
+GTS_HDR = '##INFO=<ID=GTS,Number=.,Type=String,Description="Genotypes Likelihood">'
+
+
+def cleaned_header(meta_lines: list[str], verbose: bool) -> str:
+    """The single-sample DONOR header (mirrors print_cleaned_header,
+    main.cpp:190-219: existing lines kept in order, missing FORMAT/INFO
+    definitions appended at the end, all samples replaced by DONOR)."""
+    out = list(meta_lines)
+
+    def has_id(kind: str, ident: str) -> bool:
+        prefix = f"##{kind}=<ID={ident},"
+        return any(l.startswith(prefix) for l in out)
+
+    if not has_id("FORMAT", "GT"):
+        out.append(GT_HDR)
+    if not has_id("FORMAT", "GQ"):
+        out.append(GQ_HDR)
+    if verbose:
+        if not has_id("INFO", "COVS"):
+            out.append(COVS_HDR)
+        if not has_id("INFO", "GTS"):
+            out.append(GTS_HDR)
+    out.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tDONOR")
+    return "\n".join(out) + "\n"

@@ -1,0 +1,157 @@
+"""Genotype likelihood model + VCF record emission.
+
+Scalar host mirror of the reference's genotyping math (reference:
+var_block.hpp:224-330 and 337-396), replicating its numeric quirks:
+
+* allele frequencies are float32; products/quotients involving the
+  error rate or frequencies are computed in *float32* before being
+  promoted to double inside log() (C usual-arithmetic-conversions:
+  ``int OP float -> float``), e.g. ``log(2*f1*f2)`` rounds 2*f1*f2 to
+  float32 first;
+* the log-binomial uses the Stirling form n·ln n − k·ln k − (n−k)·ln(n−k)
+  with the 0/n==k/k==0 guard (var_block.hpp:792-797);
+* an allele coverage above max_cov short-circuits the variant to the
+  0/0 (0 haploid) genotype with quality 0, appending one such entry per
+  over-covered allele (upstream's continue-not-break quirk);
+* GQ = round(100·best/Σ) half-away-from-zero; Σ==0 leaves the default
+  genotype with GQ 0 (nan comparisons are false).
+
+A vmapped JAX version for bulk device genotyping lives in
+:mod:`malva_tpu.models.genotype_jax`; this module is the bit-exactness
+reference used for VCF output.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..variants.variant import Variant
+
+F32 = np.float32
+
+
+def log_binomial(n: int, k: int) -> float:
+    if n == 0 or n == k or k == 0:
+        return 0.0
+    return n * math.log(n) - k * math.log(k) - (n - k) * math.log(n - k)
+
+
+def genotype_block(
+    variants: list[Variant], max_cov: int, haploid: bool, error_rate: F32
+) -> None:
+    """Compute posterior weights for every variant's genotypes in place."""
+    best_geno = "0" if haploid else "0/0"
+    er = F32(error_rate)
+
+    for v in variants:
+        over = False
+        for cov in v.coverages:
+            if cov > max_cov:
+                v.add_genotype(best_geno, 0.0)
+                over = True
+        if over:
+            continue
+
+        if len(v.coverages) == 1:
+            v.add_genotype(best_geno, 1.0)
+            continue
+
+        total_sum = sum(v.coverages)
+        if total_sum == 0:
+            v.add_genotype(best_geno, 0.0)
+            continue
+
+        n_all = len(v.coverages)
+        if haploid:
+            for g1 in range(n_all):
+                truth = v.coverages[g1]
+                error = total_sum - truth
+                log_prior = 2 * _log(v.frequencies[g1])
+                log_post = (
+                    log_binomial(truth + error, truth)
+                    + truth * _log(F32(1) - er)
+                    + error * _log(er / F32(n_all - 1))
+                )
+                _store(v, f"{g1}", log_prior + log_post)
+        else:
+            for g1 in range(n_all):
+                for g2 in range(g1, n_all):
+                    if g1 == g2:
+                        log_prior = 2 * _log(v.frequencies[g1])
+                        truth = v.coverages[g1]
+                        error = total_sum - truth
+                        log_post = (
+                            log_binomial(truth + error, truth)
+                            + truth * _log(F32(1) - er)
+                            + error * _log(er / F32(n_all - 1))
+                        )
+                    else:
+                        log_prior = _log(F32(2) * v.frequencies[g1] * v.frequencies[g2])
+                        t1 = v.coverages[g1]
+                        t2 = v.coverages[g2]
+                        error = total_sum - t1 - t2
+                        log_post = (
+                            log_binomial(t1 + t2 + error, t1 + t2)
+                            + log_binomial(t1 + t2, t1)
+                            + t1 * _log((F32(1) - er) / F32(2))
+                            + t2 * _log((F32(1) - er) / F32(2))
+                        )
+                        if n_all > 2:
+                            log_post += error * _log(er / F32(n_all - 2))
+                    _store(v, f"{g1}/{g2}", log_prior + log_post)
+
+
+def _log(x32) -> float:
+    """log() of a float32 operand promoted to double (C semantics)."""
+    x = float(F32(x32))
+    if x == 0.0:
+        return -math.inf
+    if x < 0.0:
+        return math.nan
+    return math.log(x)
+
+
+def _store(v: Variant, geno: str, log_prob: float) -> None:
+    prob = 0.0
+    if not math.isinf(log_prob):
+        prob = math.exp(log_prob)
+    v.add_genotype(geno, prob)
+
+
+def _fmt_qual(q: np.float32) -> str:
+    """cout << float: defaultfloat, precision 6 (== printf %.6g)."""
+    if math.isnan(float(q)):
+        return "."
+    return "%.6g" % float(q)
+
+
+def format_variants(variants: list[Variant], haploid: bool, verbose: bool) -> list[str]:
+    """Render each variant as its output VCF line (var_block.hpp:337-396)."""
+    lines: list[str] = []
+    for v in variants:
+        alts = b",".join(v.alts).decode()
+        info = "."
+        if verbose:
+            info = "COVS=" + ",".join(str(int(c)) for c in v.coverages)
+        best_geno = "0" if haploid else "0/0"
+        best_qual = 0.0
+        total_qual = sum(p for _, p in v.computed_gts)
+        gts_parts = []
+        for geno, prob in v.computed_gts:
+            qual = prob / total_qual if total_qual != 0 else math.nan
+            if qual > best_qual:
+                best_geno = geno
+                best_qual = qual
+            if verbose:
+                gts_parts.append(f"{geno}:{qual:.6f}")
+        if verbose:
+            info += ";GTS=" + ",".join(gts_parts) if gts_parts else ";GTS="
+        gq = int(math.floor(best_qual * 100 + 0.5))
+        lines.append(
+            f"{v.seq_name}\t{v.ref_pos + 1}\t{v.idx}\t{v.ref_sub.decode()}\t"
+            f"{alts}\t{_fmt_qual(v.quality)}\t{v.filt}\t{info}\tGT:GQ\t"
+            f"{best_geno}:{gq}"
+        )
+    return lines

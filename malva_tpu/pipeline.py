@@ -1,0 +1,272 @@
+"""End-to-end pipeline orchestration: index and call phases.
+
+Mirrors the reference's two-phase structure (reference: main.cpp:251-419
+index, main.cpp:421-594 call) with the external KMC dependency replaced by
+the built-in counter (malva_tpu.count) and the on-disk index stored as an
+npz of the Bloom/map arrays (rank rebuilt on load, like upstream).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .count.counter import count_reads_kmers
+from .index.bloom_filter import BF
+from .index.kmap import KMAP
+from .io.fasta import load_reference
+from .io.vcf import VcfReader, cleaned_header
+from .models.genotype import format_variants, genotype_block
+from .utils.config import Config
+from .utils.timing import PhaseTimer
+from .variants.blocks import VB
+from .variants.variant import Variant
+
+
+@dataclass
+class Index:
+    bf: BF
+    ref_bf: KMAP
+    context_bf: BF
+
+
+class _KmerBatcher:
+    """Accumulates variable-length k-mer byte strings, flushes grouped by
+    length into batched BF/KMAP operations."""
+
+    def __init__(self, flush_at: int = 1 << 20):
+        self.by_len: dict[int, list[bytes]] = {}
+        self.n = 0
+        self.flush_at = flush_at
+
+    def add(self, kmer: bytes) -> None:
+        self.by_len.setdefault(len(kmer), []).append(kmer)
+        self.n += 1
+
+    def drain(self):
+        for length, kmers in self.by_len.items():
+            if length == 0:
+                continue
+            arr = np.frombuffer(b"".join(kmers), dtype=np.uint8).reshape(-1, length)
+            yield arr
+        self.by_len = {}
+        self.n = 0
+
+
+def _iter_blocks(
+    cfg: Config,
+    refs: dict[str, np.ndarray],
+    keep_absent: bool,
+    used_out: list[str] | None = None,
+):
+    """Yield (vb, reference_array_or_None) per flushed variant block.
+
+    keep_absent=False mirrors the index phase (skips !is_present records,
+    main.cpp:332-333); True mirrors the call phase (main.cpp:539).
+    ``used_out`` collects contig names with the reference's exact state
+    machine (main.cpp:323-357): the first record's contig always, then a
+    new contig only when a block flush observes the change — a contig
+    whose single passing variant never triggers a flush is *not* recorded
+    (upstream quirk, kept).
+    """
+    reader = VcfReader(cfg.vcf_path, cfg.samples)
+    vb = VB(cfg.k, float(cfg.error_rate))
+    last_seq_name = None
+    for rec in reader:
+        if cfg.strip_chr and rec.chrom.startswith("chr"):
+            rec.chrom = rec.chrom[3:]
+        v = Variant(rec, reader.selected, cfg.freq_key, cfg.uniform)
+        if last_seq_name is None:
+            last_seq_name = v.seq_name
+            if used_out is not None:
+                used_out.append(last_seq_name)
+        if not v.has_alts or (not keep_absent and not v.is_present):
+            continue
+        if vb.empty():
+            vb.add_variant(v)
+            continue
+        if not vb.is_near_to_last(v) or last_seq_name != v.seq_name:
+            yield vb, refs.get(last_seq_name)
+            vb.clear()
+            if last_seq_name != v.seq_name:
+                last_seq_name = v.seq_name
+                if used_out is not None:
+                    used_out.append(last_seq_name)
+        vb.add_variant(v)
+    if not vb.empty():
+        yield vb, refs.get(last_seq_name)
+        vb.clear()
+
+
+def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
+    timer = timer or PhaseTimer()
+    refs = load_reference(cfg.fasta_path, cfg.strip_chr)
+    timer.pelapsed("Reference processed")
+
+    bf = BF(cfg.bf_size)
+    ref_bf = KMAP()
+    context_bf = BF(cfg.bf_size)
+
+    batcher_alt = _KmerBatcher()
+    batcher_ref = _KmerBatcher()
+    used_names: list[str] = []
+
+    n_vars = 0
+    for vb, ref in _iter_blocks(cfg, refs, keep_absent=False, used_out=used_names):
+        ref_bytes = ref.tobytes() if ref is not None else b""
+        kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
+        n_vars += len(vb.variants)
+        # add_kmers_to_bf (main.cpp:122-144)
+        for _v_idx, per_allele in kmers.items():
+            for allele_idx, signatures in per_allele.items():
+                target = batcher_ref if allele_idx == 0 else batcher_alt
+                for sig in signatures:
+                    for kmer in sig:
+                        target.add(kmer)
+        if batcher_alt.n > batcher_alt.flush_at:
+            for arr in batcher_alt.drain():
+                bf.add_keys(arr)
+        if batcher_ref.n > batcher_ref.flush_at:
+            for arr in batcher_ref.drain():
+                ref_bf.add_keys(arr)
+    for arr in batcher_alt.drain():
+        bf.add_keys(arr)
+    for arr in batcher_ref.drain():
+        ref_bf.add_keys(arr)
+    timer.pelapsed(f"Processed variants ({n_vars} in blocks)")
+
+    bf.switch_mode()
+    timer.pelapsed("BF creation complete")
+
+    # Reference context scan (main.cpp:382-401): for every ref_k-window of
+    # each used contig, if the centered k-mer hits bf, record the context.
+    off = cfg.center_off
+    for seq_name in used_names:
+        ref = refs.get(seq_name)
+        if ref is None or len(ref) == 0:
+            continue
+        L = len(ref)
+        if L < cfg.ref_k:
+            # upstream clamps the initial substrings for short contigs
+            if L > off:
+                sub = ref[off : off + cfg.k][None, :]
+                if bf.test_keys(sub)[0]:
+                    context_bf.add_keys(ref[: cfg.ref_k][None, :])
+            continue
+        n_pos = L - cfg.ref_k + 1
+        chunk = 1 << 20
+        for start in range(0, n_pos, chunk):
+            stop = min(start + chunk, n_pos)
+            windows = np.lib.stride_tricks.sliding_window_view(
+                ref[start : stop + cfg.ref_k - 1], cfg.ref_k
+            )
+            centers = windows[:, off : off + cfg.k]
+            hits = bf.test_keys(centers)
+            if hits.any():
+                context_bf.add_keys(np.ascontiguousarray(windows[hits]))
+    timer.pelapsed("Reference BF creation complete")
+
+    context_bf.switch_mode()
+    return Index(bf=bf, ref_bf=ref_bf, context_bf=context_bf)
+
+
+def save_index(index: Index, path: str) -> None:
+    st = {}
+    for name, obj in [("bf", index.bf), ("ctx", index.context_bf)]:
+        for k, v in obj.state().items():
+            st[f"{name}_{k}"] = v
+    for k, v in index.ref_bf.state().items():
+        st[f"kmap_{k}"] = v
+    np.savez_compressed(path, **st)
+
+
+def load_index(path: str) -> Index:
+    st = dict(np.load(path))
+    return Index(
+        bf=BF.from_state(st, "bf_"),
+        context_bf=BF.from_state(st, "ctx_"),
+        ref_bf=KMAP.from_state(st, "kmap_"),
+    )
+
+
+def apply_sample_counts(
+    index: Index, contexts: np.ndarray, counts: np.ndarray, cfg: Config
+) -> None:
+    """KMC-scan equivalent (main.cpp:487-500): for each distinct canonical
+    context, add its count to the exact map always and to the alt Bloom
+    filter only when the context is not a known reference context."""
+    off = cfg.center_off
+    centers = np.ascontiguousarray(contexts[:, off : off + cfg.k])
+    index.ref_bf.increment_keys(centers, counts)
+    ctx_known = index.context_bf.test_keys(contexts)
+    sel = ~ctx_known
+    index.bf.increment_keys(centers[sel], counts[sel])
+
+
+def _set_coverages(index: Index, vb: VB, kmers: dict) -> None:
+    """main.cpp:151-184: per-allele coverage = max over signatures of the
+    incremental integer mean of the nonzero k-mer counts."""
+    # batch all counts per (allele==0 ? kmap : bf) grouped by kmer length
+    queries: dict[tuple[bool, int], list[bytes]] = {}
+    for _v_idx, per_allele in kmers.items():
+        for allele_idx, signatures in per_allele.items():
+            is_ref = allele_idx == 0
+            for sig in signatures:
+                for kmer in sig:
+                    queries.setdefault((is_ref, len(kmer)), []).append(kmer)
+    counts: dict[tuple[bool, bytes], int] = {}
+    for (is_ref, length), kmer_list in queries.items():
+        if length == 0:
+            continue
+        arr = np.frombuffer(b"".join(kmer_list), dtype=np.uint8).reshape(-1, length)
+        vals = (
+            index.ref_bf.get_counts(arr)
+            if is_ref
+            else index.bf.get_counts(arr).astype(np.int64)
+        )
+        for kmer, w in zip(kmer_list, vals.tolist()):
+            counts[(is_ref, kmer)] = w
+
+    for v_idx, per_allele in kmers.items():
+        for allele_idx, signatures in per_allele.items():
+            is_ref = allele_idx == 0
+            allele_cov = 0
+            for sig in signatures:
+                curr_cov = 0
+                n = 0
+                for kmer in sig:
+                    w = counts.get((is_ref, kmer), 0)
+                    if w > 0:
+                        curr_cov = (curr_cov * n + w) // (n + 1)
+                        n += 1
+                if curr_cov > allele_cov:
+                    allele_cov = curr_cov
+            if allele_idx >= 0:
+                vb.variants[v_idx].set_coverage(allele_idx, allele_cov)
+
+
+def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = None) -> None:
+    timer = timer or PhaseTimer()
+    refs = load_reference(cfg.fasta_path, cfg.strip_chr)
+    timer.pelapsed("Reference processed")
+
+    contexts, counts = count_reads_kmers(cfg.sample_path, cfg.ref_k)
+    timer.pelapsed("Sample k-mer counting")
+    apply_sample_counts(index, contexts, counts, cfg)
+    timer.pelapsed("BF weights created")
+
+    reader = VcfReader(cfg.vcf_path, cfg.samples)
+    out.write(cleaned_header(reader.meta_lines, cfg.verbose))
+
+    n = 0
+    for vb, ref in _iter_blocks(cfg, refs, keep_absent=True):
+        ref_bytes = ref.tobytes() if ref is not None else b""
+        kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
+        _set_coverages(index, vb, kmers)
+        genotype_block(vb.variants, cfg.max_coverage, cfg.haploid, cfg.error_rate)
+        for line in format_variants(vb.variants, cfg.haploid, cfg.verbose):
+            out.write(line + "\n")
+        n += len(vb.variants)
+    timer.pelapsed(f"VCF parsing and genotyping ({n} variants)")

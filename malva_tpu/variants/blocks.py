@@ -1,0 +1,294 @@
+"""Variant blocks + haplotype-aware k-mer signature extraction.
+
+Host-side mirror of the reference's algorithmic core (reference:
+var_block.hpp:61-798): variants that are (k/2)-near are grouped into a
+block; for every variant, combinations of nearby non-overlapping variants
+are grown left/right (with back-tracking when a new variant overlaps a
+combination's tail), sample-consistent allele combinations (haplotypes)
+are enumerated (unphased genotypes expand over both choices per site,
+deduplicated), and each haplotype is rendered into one or more k-length
+signature strings centered on the mid variant's allele, padded/trimmed
+with reference flanks.
+
+Divergences from upstream (all UB there, defined here):
+* back-tracking that empties a combination (var_block.hpp:496-501 reads
+  ``back()`` of an empty vector) stops cleanly instead;
+* GT allele indices pointing at dropped symbolic alternates
+  (variant.hpp:221 reads past ``alts``) clamp to the reference allele;
+* reference-flank slices that would start before the contig
+  (var_block.hpp:178-181 with a near-start variant in the combination)
+  clamp to position 0.
+
+The output VK_GROUP is ``{var_index: {allele_index: [signature, ...]}}``
+where a signature is a list of k-mer byte strings.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .variant import Variant
+
+VK_GROUP = dict  # {int: {int: list[list[bytes]]}}
+
+
+def are_overlapping(v1: Variant, v2: Variant) -> bool:
+    """var_block.hpp:408-412"""
+    return v1.ref_pos <= v2.ref_pos < v1.ref_pos + v1.ref_size
+
+
+def are_near(v1: Variant, v2: Variant, k: int, sum_to_add: int = 0) -> bool:
+    """var_block.hpp:417-423"""
+    return (
+        v1.ref_pos + v1.ref_size - v1.min_size - 1 + sum_to_add + (k + 1) // 2
+        >= v2.ref_pos
+    )
+
+
+_warned_oob_allele = False
+
+
+def _get_allele(v: Variant, i: int) -> bytes:
+    global _warned_oob_allele
+    if i > len(v.alts):
+        if not _warned_oob_allele:
+            print(
+                f"[malva-tpu] warning: GT allele index {i} beyond ALT count at "
+                f"{v.seq_name}:{v.ref_pos + 1} (symbolic ALT dropped?); using REF",
+                file=sys.stderr,
+            )
+            _warned_oob_allele = True
+        return v.ref_sub
+    return v.get_allele(i)
+
+
+class VB:
+    """A block of nearby variants (var_block.hpp:61)."""
+
+    def __init__(self, k: int, error_rate: float):
+        self.variants: list[Variant] = []
+        self.k = k
+        self.error_rate = error_rate
+
+    def is_near_to_last(self, v: Variant) -> bool:
+        return are_near(self.variants[-1], v, self.k)
+
+    def add_variant(self, v: Variant) -> None:
+        self.variants.append(v)
+
+    def empty(self) -> bool:
+        return not self.variants
+
+    def clear(self) -> None:
+        self.variants = []
+
+    # -- combination growth (var_block.hpp:436-624) ------------------------
+    def _grow_combs(self, i: int, direction: int) -> list[list[int]]:
+        """direction +1: right combs; -1: left combs (indices outward)."""
+        variants = self.variants
+        mid_v = variants[i]
+        combs: list[list[int]] = []
+        sums: list[int] = []
+        k = self.k
+
+        if direction > 0:
+            indices = range(i + 1, len(variants))
+        else:
+            indices = range(i - 1, -1, -1)
+
+        def overlapping(a: Variant, b: Variant) -> bool:
+            # right: are_overlapping(earlier, later) = (last_in_comb, curr);
+            # left: (curr, last_in_comb) — curr is the earlier one.
+            return are_overlapping(a, b) if direction > 0 else are_overlapping(b, a)
+
+        def near(curr: Variant, s: int) -> bool:
+            return (
+                are_near(mid_v, curr, k, s) if direction > 0 else are_near(curr, mid_v, k, s)
+            )
+
+        for j in indices:
+            curr = variants[j]
+            if not curr.is_present:
+                continue
+            if direction > 0:
+                if are_overlapping(mid_v, curr):
+                    continue
+            else:
+                if are_overlapping(curr, mid_v):
+                    continue
+
+            if not combs:
+                if near(curr, 0):
+                    combs.append([j])
+                    sums.append(curr.ref_size - curr.min_size)
+                continue
+
+            added = False
+            for c in range(len(combs)):
+                last = variants[combs[c][-1]]
+                if not overlapping(last, curr):
+                    added = True
+                    if near(curr, sums[c]):
+                        combs[c].append(j)
+                        sums[c] += curr.ref_size - curr.min_size
+            if not added:
+                new_combs: list[list[int]] = []
+                new_sums: list[int] = []
+                for c in range(len(combs)):
+                    nc = list(combs[c])
+                    ns = sums[c]
+                    while nc and overlapping(variants[nc[-1]], curr):
+                        popped = variants[nc.pop()]
+                        ns -= popped.ref_size - popped.min_size
+                    nc.append(j)
+                    if near(curr, ns):
+                        added = True
+                        new_combs.append(nc)
+                        new_sums.append(ns + curr.ref_size - curr.min_size)
+                combs.extend(new_combs)
+                sums.extend(new_sums)
+                if not added:
+                    break  # halt: nothing further can be near
+        return combs
+
+    def _combine_combs(
+        self, left: list[list[int]], right: list[list[int]], i: int
+    ) -> list[list[int]]:
+        """var_block.hpp:630-677"""
+        full: list[list[int]] = []
+        if not left and not right:
+            return [[i]]
+        if not left:
+            for rc in right:
+                full.append([i] + rc)
+            return full
+        for lc in left:
+            base = lc[::-1] + [i]
+            if not right:
+                full.append(base)
+            else:
+                for rc in right:
+                    full.append(base + rc)
+        return full
+
+    def _get_ref_subs(self, comb: list[int], reference: bytes) -> list[bytes]:
+        """var_block.hpp:682-702"""
+        subs: list[bytes] = []
+        last_end = -1
+        for index in comb:
+            v = self.variants[index]
+            if last_end == -1:
+                last_end = v.ref_pos + v.ref_size
+                continue
+            subs.append(reference[last_end : v.ref_pos])
+            last_end = v.ref_pos + v.ref_size
+        return subs
+
+    def _build_alleles_combs(
+        self, comb: list[int], central_index: int, haploid: bool
+    ) -> set[tuple[bytes, ...]]:
+        """var_block.hpp:734-786, with incremental dedup replacing the
+        explicit 2^n haplotype table of combine_haplotypes (same set)."""
+        aacs: set[tuple[bytes, ...]] = set()
+        central = self.variants[central_index]
+        variants = self.variants
+        for gt_i in range(len(central.genotypes)):
+            if haploid:
+                aacs.add(
+                    tuple(
+                        _get_allele(variants[j], variants[j].genotypes[gt_i][0])
+                        for j in comb
+                    )
+                )
+            else:
+                phased = True
+                hap1: list[bytes] = []
+                hap2: list[bytes] = []
+                for j in comb:
+                    vj = variants[j]
+                    phased &= vj.phasing[gt_i]
+                    hap1.append(_get_allele(vj, vj.genotypes[gt_i][0]))
+                    hap2.append(_get_allele(vj, vj.genotypes[gt_i][1]))
+                if phased:
+                    aacs.add(tuple(hap1))
+                    aacs.add(tuple(hap2))
+                else:
+                    # all 2^n selections, deduplicated level by level
+                    partial: set[tuple[bytes, ...]] = {()}
+                    for a1, a2 in zip(hap1, hap2):
+                        if a1 == a2:
+                            partial = {t + (a1,) for t in partial}
+                        else:
+                            partial = {t + (a,) for t in partial for a in (a1, a2)}
+                    aacs |= partial
+        return aacs
+
+    # -- signature extraction (var_block.hpp:95-219) -----------------------
+    def extract_kmers(self, reference: bytes, haploid: bool) -> dict:
+        k = self.k
+        kmers: dict[int, dict[int, list[list[bytes]]]] = {}
+        for v_index in range(len(self.variants)):
+            _kmers: dict[int, list[list[bytes]]] = {}
+            v = self.variants[v_index]
+
+            if (
+                not v.is_present
+                or v.ref_pos < k
+                or v.ref_pos > len(reference) - k
+            ):
+                kmers[v_index] = _kmers
+                continue
+
+            right_combs = self._grow_combs(v_index, +1)
+            left_combs = self._grow_combs(v_index, -1)
+            combs = self._combine_combs(left_combs, right_combs, v_index)
+
+            for comb in combs:
+                ref_subs = self._get_ref_subs(comb, reference)
+                aacs = self._build_alleles_combs(comb, v_index, haploid)
+
+                for aac in aacs:
+                    ksss: list[bytes] = []
+                    if len(aac) == 1 and len(aac[0]) >= k:
+                        mid_allele = aac[0]
+                        for p in range(len(mid_allele) - k + 1):
+                            ksss.append(mid_allele[p : p + k])
+                    else:
+                        kmer = b""
+                        mid_pos_in_kmer = 0
+                        mid_allele = b""
+                        for j in range(len(aac)):
+                            rs = ref_subs[j] if j < len(ref_subs) else b""
+                            if comb[j] == v_index:
+                                mid_pos_in_kmer = len(kmer)
+                                mid_allele = aac[j]
+                            kmer += aac[j] + rs
+
+                        first_part = mid_pos_in_kmer + len(mid_allele) // 2
+                        second_part = len(kmer) - first_part
+                        missing_prefix = k // 2 - first_part
+                        missing_suffix = (k + 1) // 2 - second_part
+
+                        if missing_prefix >= 0:
+                            first_var = self.variants[comb[0]]
+                            start = first_var.ref_pos - missing_prefix
+                            if start < 0:
+                                start = 0  # upstream would throw (UB edge)
+                            kmer = reference[start : first_var.ref_pos] + kmer
+                        else:
+                            kmer = kmer[-missing_prefix:]
+
+                        if missing_suffix >= 0:
+                            last_var = self.variants[comb[-1]]
+                            pos = last_var.ref_pos + last_var.ref_size
+                            kmer = kmer + reference[pos : pos + missing_suffix]
+                        else:
+                            kmer = kmer[: len(kmer) + missing_suffix]
+
+                        ksss.append(kmer)
+
+                    allele_index = v.get_allele_index(mid_allele)
+                    _kmers.setdefault(allele_index, []).append(ksss)
+                kmers[v_index] = _kmers
+            kmers[v_index] = _kmers
+        return kmers

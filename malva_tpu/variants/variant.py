@@ -1,0 +1,137 @@
+"""In-memory variant model (mirrors reference variant.hpp:43-253).
+
+One VCF record becomes a Variant: uppercased REF/ALTs with symbolic
+('<'-prefixed) alternates dropped, float32 allele-frequency priors with the
+reference-allele frequency computed as ``1 - sum(alt freqs)`` clamped at 0,
+per-selected-sample genotype pairs + phasing extracted htslib-style, and
+the ``has_alts`` / ``is_present`` gating flags.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.vcf import VECTOR_END, VcfRecord
+
+
+def _bcf_gt_allele(enc: int) -> int:
+    return (enc >> 1) - 1
+
+
+def _bcf_gt_is_phased(enc: int) -> bool:
+    return bool(enc & 1)
+
+
+class Variant:
+    __slots__ = (
+        "seq_name", "ref_pos", "idx", "ref_sub", "alts", "quality", "filt",
+        "info", "genotypes", "phasing", "ref_size", "min_size", "max_size",
+        "has_alts", "is_present", "frequencies", "coverages", "computed_gts",
+    )
+
+    def __init__(self, rec: VcfRecord, selected: list[int], freq_key: str, uniform: bool):
+        self.seq_name: str = rec.chrom
+        self.ref_pos: int = rec.pos0
+        self.idx: str = rec.idx
+        self.ref_sub: bytes = rec.ref.upper().encode()
+        self.ref_size: int = len(self.ref_sub)
+        # symbolic alternates (<CN0>, <DEL>, ...) are dropped (variant.hpp:81-88)
+        self.alts: list[bytes] = [
+            a.upper().encode() for a in rec.alts_raw if not a.startswith("<")
+        ]
+        self.coverages: list[int] = [0] * (len(self.alts) + 1)
+        self.quality: np.float32 = rec.qual()
+        self.filt: str = "PASS"  # reference hardcodes PASS (variant.hpp:91)
+        self.info: str = "."
+        self.genotypes: list[tuple[int, int]] = []
+        self.phasing: list[bool] = []
+        self.frequencies: list[np.float32] = []
+        self.computed_gts: list[tuple[str, float]] = []
+        self.min_size = self.max_size = 0
+
+        # set_sizes (variant.hpp:108-124)
+        self.has_alts = bool(self.alts)
+        self.is_present = True
+        if self.has_alts:
+            self.min_size = min(self.ref_size, *(len(a) for a in self.alts))
+            self.max_size = max(self.ref_size, *(len(a) for a in self.alts))
+            self._extract_frequencies(rec, freq_key, uniform)
+            if self.is_present:
+                self._extract_genotypes(rec, selected)
+
+    # -- frequencies (variant.hpp:126-156) --------------------------------
+    def _extract_frequencies(self, rec: VcfRecord, freq_key: str, uniform: bool):
+        if not uniform:
+            vals = rec.info_floats(freq_key)
+            freqs: list[np.float32] = [np.float32(0.0)]
+            for i in range(len(self.alts)):
+                # The reference indexes the INFO array by the *filtered* alt
+                # index (variant.hpp:137-141); with symbolic alts dropped the
+                # remaining freqs shift down — replicated.  Reading past the
+                # provided values is UB upstream; we pad with 0.
+                if vals is not None and i < len(vals):
+                    freqs.append(np.float32(vals[i]))
+                else:
+                    freqs.append(np.float32(0.0))
+            # accumulate(..., 0.0) runs in double, result stored as float
+            s = 0.0
+            for f in freqs:
+                s += float(f)
+            ref_freq = np.float32(1.0 - s)
+            if ref_freq < 0:
+                ref_freq = np.float32(0.0)
+            freqs[0] = ref_freq
+            self.frequencies = freqs
+        else:
+            u = np.float32(1.0) / np.float32(len(self.alts) + 1)
+            self.frequencies = [u] * (len(self.alts) + 1)
+        if self.frequencies[0] == np.float32(1.0):
+            self.is_present = False
+
+    # -- genotypes (variant.hpp:158-211) ----------------------------------
+    def _extract_genotypes(self, rec: VcfRecord, selected: list[int]):
+        out = rec.genotypes_flat(selected)
+        if out is None:
+            self.has_alts = False
+            return
+        flat, ploidy = out
+        n = len(selected)
+        for i in range(n):
+            base = i * ploidy
+            first = flat[base]
+            # slot base+1 may belong to the next sample when ploidy == 1
+            # (the reference reads it anyway; for the final sample that read
+            # is out of bounds upstream — we define it as VECTOR_END).
+            second = flat[base + 1] if base + 1 < len(flat) else VECTOR_END
+            if second == VECTOR_END:
+                a1 = _bcf_gt_allele(first)
+                a2 = a1
+                phased = True
+            else:
+                a1 = _bcf_gt_allele(first)
+                a2 = _bcf_gt_allele(second)
+                phased = _bcf_gt_is_phased(second)
+            if a1 < 0:
+                a1 = 0
+            if a2 < 0:
+                a2 = 0
+            self.genotypes.append((a1, a2))
+            self.phasing.append(phased)
+
+    # -- accessors (variant.hpp:216-252) ----------------------------------
+    def get_allele(self, i: int) -> bytes:
+        return self.ref_sub if i == 0 else self.alts[i - 1]
+
+    def get_allele_index(self, allele: bytes) -> int:
+        if self.ref_sub == allele:
+            return 0
+        for i, a in enumerate(self.alts, start=1):
+            if a == allele:
+                return i
+        return -1
+
+    def set_coverage(self, i: int, cov: int) -> None:
+        self.coverages[i] = cov
+
+    def add_genotype(self, geno: str, prob: float) -> None:
+        self.computed_gts.append((geno, prob))

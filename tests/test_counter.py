@@ -1,0 +1,71 @@
+"""KMC-equivalent counter vs a brute-force dict oracle."""
+
+import gzip
+
+import numpy as np
+
+from malva_tpu.count.counter import count_reads_kmers
+from malva_tpu.ops.seq import RCN_TABLE
+
+
+def _rc(s: bytes) -> bytes:
+    return bytes(RCN_TABLE[b] for b in s)[::-1]
+
+
+def _canon(s: bytes) -> bytes:
+    r = _rc(s)
+    return s if s < r else r
+
+
+def _oracle(reads, k, ci=2, cs=255):
+    counts = {}
+    for r in reads:
+        r = r.upper()
+        for i in range(len(r) - k + 1):
+            w = r[i : i + k]
+            if any(c not in b"ACGT" for c in w):
+                continue
+            c = _canon(w)
+            counts[c] = counts.get(c, 0) + 1
+    return {k_: min(v, cs) for k_, v in counts.items() if v >= ci}
+
+
+def test_counter_matches_oracle(tmp_path):
+    rng = np.random.default_rng(7)
+    reads = []
+    base = bytes(rng.choice(list(b"ACGT"), size=200))
+    for i in range(50):
+        start = rng.integers(0, 150)
+        read = bytearray(base[start : start + 60])
+        if rng.random() < 0.3:
+            read[rng.integers(0, len(read))] = ord("N")
+        reads.append(bytes(read))
+    fq = tmp_path / "reads.fa"
+    with open(fq, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b">r%d\n%s\n" % (i, r))
+
+    contexts, counts = count_reads_kmers(str(fq), 11, ci=2, cs=255, chunk_kmers=64)
+    got = {contexts[i].tobytes(): int(counts[i]) for i in range(len(counts))}
+    assert got == _oracle(reads, 11)
+
+
+def test_counter_gzip_fastq(tmp_path):
+    reads = [b"ACGTACGTACGTACGT", b"ACGTACGTACGTACGT"]
+    fq = tmp_path / "reads.fq.gz"
+    with gzip.open(fq, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, b"I" * len(r)))
+    contexts, counts = count_reads_kmers(str(fq), 7)
+    got = {contexts[i].tobytes(): int(counts[i]) for i in range(len(counts))}
+    assert got == _oracle(reads, 7)
+
+
+def test_counter_ci_excludes_singletons(tmp_path):
+    fq = tmp_path / "reads.fa"
+    fq.write_bytes(b">a\nAAAAACC\n>b\nAAAAAGG\n")
+    # 7-mers each occur once -> all excluded at ci=2
+    contexts, counts = count_reads_kmers(str(fq), 7)
+    assert len(counts) == 0
+    contexts, counts = count_reads_kmers(str(fq), 7, ci=1)
+    assert len(counts) == 2

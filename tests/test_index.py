@@ -1,0 +1,92 @@
+"""Bloom filter + exact map semantics vs scalar oracles."""
+
+import numpy as np
+
+from malva_tpu.index.bloom_filter import BF
+from malva_tpu.index.kmap import KMAP
+from malva_tpu.ops.seq import canonical
+from malva_tpu.ops.xxh3 import xxh3_64
+
+
+def _kmers(n, k, seed=0, alpha=b"ACGTN"):
+    rng = np.random.default_rng(seed)
+    a = np.frombuffer(alpha, dtype=np.uint8)
+    return a[rng.integers(0, len(a), size=(n, k))]
+
+
+def test_bf_add_test_roundtrip():
+    bf = BF(1 << 20)
+    keys = _kmers(500, 35)
+    others = _kmers(500, 35, seed=9)
+    bf.add_keys(keys)
+    assert bf.test_keys(keys).all()
+    # false positives possible but should be rare at this load
+    assert bf.test_keys(others).mean() < 0.05
+
+
+def test_bf_counter_semantics_vs_dict_oracle():
+    size = 1 << 16  # tiny filter to force collisions
+    bf = BF(size)
+    keys = _kmers(400, 35, seed=1)
+    bf.add_keys(keys)
+    bf.switch_mode()
+
+    inc_keys = _kmers(3000, 35, seed=2)
+    counters = np.random.default_rng(3).integers(1, 300, size=3000).astype(np.uint32)
+    bf.increment_keys(inc_keys, counters)
+
+    # scalar oracle: counters live per set bit index, shared on collisions
+    idx_of = lambda ks: xxh3_64(canonical(ks)) % np.uint64(size)
+    set_bits = set(idx_of(keys).tolist())
+    oracle = {}
+    for i, c in zip(idx_of(inc_keys).tolist(), counters.tolist()):
+        if i in set_bits:
+            oracle[i] = (oracle.get(i, 0) + c) & 0xFFFFFFFF
+
+    got = bf.get_counts(inc_keys)
+    for j, i in enumerate(idx_of(inc_keys).tolist()):
+        want = (oracle.get(i, 0) & 0xFFFF) if i in set_bits else 0
+        assert got[j] == want
+
+
+def test_bf_counts_wrap_mod_2_16():
+    bf = BF(1 << 12)
+    key = _kmers(1, 35, seed=4, alpha=b"ACGT")
+    bf.add_keys(key)
+    bf.switch_mode()
+    big = np.array([60000], dtype=np.uint32)
+    bf.increment_keys(key, big)
+    bf.increment_keys(key, big)
+    assert bf.get_counts(key)[0] == (120000 & 0xFFFF)
+
+
+def test_bf_state_roundtrip():
+    bf = BF(1 << 14)
+    keys = _kmers(100, 35, seed=5)
+    bf.add_keys(keys)
+    bf.switch_mode()
+    bf.increment_keys(keys, np.full(100, 7, dtype=np.uint32))
+    bf2 = BF.from_state({f"x_{k}": v for k, v in bf.state().items()}, "x_")
+    np.testing.assert_array_equal(bf2.get_counts(keys), bf.get_counts(keys))
+
+
+def test_kmap_truncation_and_increment():
+    km = KMAP()
+    # 'R' complements to NUL; canonical picks the revcomp (leading NUL
+    # sorts first), so the stored key is truncated
+    kmer = np.frombuffer(b"TTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTR", dtype=np.uint8)[None, :]
+    km.add_keys(kmer)
+    assert len(km) == 1
+    (key,) = km.kmers
+    assert 0 not in key and len(key) < 35
+    km.increment_keys(kmer, np.array([5], dtype=np.uint32))
+    assert km.get_counts(kmer)[0] == 5
+
+
+def test_kmap_signed_reinterpretation():
+    km = KMAP()
+    kmer = _kmers(1, 35, seed=6, alpha=b"ACGT")
+    km.add_keys(kmer)
+    km.increment_keys(kmer, np.array([0x90000000], dtype=np.uint32))
+    # stored uint32 >= 2^31 reads back negative (upstream int cast)
+    assert km.get_counts(kmer)[0] < 0
