@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Headline benchmark: sample k-mers queried/sec/chip through the fused
+call-phase step (hot loop D — SURVEY.md §3.5, BASELINE.md north star).
+
+Runs on whatever jax platform the environment provides (the real TPU
+under the driver).  The index is synthesized on device (no host->device
+bulk transfer in the timed region); the batch of contexts is generated
+on device per iteration from a counter-based PRNG.
+
+Baseline: a single-thread C++ replica of the reference's per-k-mer work
+(canonicalization + XXH3 + Bloom probes + rank/counter + hashmap lookup),
+compiled on this machine against the reference's vendored xxhash.c —
+i.e. what the original CPU pipeline can do per core here.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+LOG2_BITS = int(os.environ.get("MALVA_BENCH_LOG2_BITS", "33"))  # 1 GiB filter
+BATCH = int(os.environ.get("MALVA_BENCH_BATCH", str(1 << 21)))
+ITERS = int(os.environ.get("MALVA_BENCH_ITERS", "10"))
+
+
+def cpu_baseline() -> float:
+    """kmers/s of the reference-equivalent loop, single CPU thread."""
+    exe = "/tmp/malva_ref_hotloop"
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native", "ref_hotloop.cpp")
+    xxh = "/root/reference/xxhash.c"
+    if not os.path.exists(xxh):
+        return 0.0
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", exe, src, xxh],
+                check=True, capture_output=True, timeout=180,
+            )
+        out = subprocess.run(
+            [exe, str(min(LOG2_BITS, 33)), str(1 << 20), "3"],
+            check=True, capture_output=True, timeout=600, text=True,
+        ).stdout
+        for line in out.splitlines():
+            if line.startswith("kmers_per_sec="):
+                return float(line.split("=")[1])
+    except Exception as e:  # baseline is best-effort
+        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+    return 0.0
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from malva_tpu.index.device import make_call_step
+    from malva_tpu.ops.bloom_jax import pack2bit_jax
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    size_bits = 1 << LOG2_BITS
+    nwords = size_bits // 32
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def build_index(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        # ~1e-4 fill, at most one bit per word so rank indices stay in-bounds
+        r = jax.random.randint(k1, (nwords,), 0, 10000, dtype=jnp.int32)
+        bitpos = jax.random.randint(k2, (nwords,), 0, 32, dtype=jnp.int32)
+        words = jnp.where(r == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
+        r2 = jax.random.randint(k3, (nwords,), 0, 10000, dtype=jnp.int32)
+        ctx_words = jnp.where(r2 == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
+        pc = (words != 0).astype(jnp.uint32)
+        rank = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(pc)[:-1]])
+        return words, rank, ctx_words
+
+    words, rank, ctx_words = build_index(key)
+    counts = jnp.zeros(nwords, dtype=jnp.uint32)  # upper bound on popcount
+
+    # synthetic sorted exact-map keys (1M)
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    from malva_tpu.index.device import pack2bit_u32_np
+
+    kk = pack2bit_u32_np(alpha[rng.integers(0, 4, size=(1 << 20, 35))], 35)
+    kk = kk[np.lexsort((kk[:, 2], kk[:, 1], kk[:, 0]))]
+    kmap_keys = jnp.asarray(kk)
+    kmap_vals = jnp.zeros(kk.shape[0], dtype=jnp.uint32)
+
+    step = make_call_step(35, 43, size_bits)
+    alpha_dev = jnp.asarray(alpha)
+
+    @jax.jit
+    def bench_iter(i, words, rank, counts, ctx_words, kmap_keys, kmap_vals):
+        k = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        contexts = jnp.take(
+            alpha_dev,
+            jax.random.randint(k, (BATCH, 43), 0, 4, dtype=jnp.int32),
+            axis=0,
+        )
+        counters = jnp.ones((BATCH,), dtype=jnp.uint32)
+        return step(words, rank, counts, ctx_words, kmap_keys, kmap_vals, contexts, counters)
+
+    def it(i, counts, kmap_vals):
+        return bench_iter(i, words, rank, counts, ctx_words, kmap_keys, kmap_vals)
+
+    # warmup / compile
+    counts, kmap_vals = it(0, counts, kmap_vals)
+    counts, kmap_vals = it(1, counts, kmap_vals)
+    jax.block_until_ready((counts, kmap_vals))
+
+    t0 = time.perf_counter()
+    for i in range(2, 2 + ITERS):
+        counts, kmap_vals = it(i, counts, kmap_vals)
+    jax.block_until_ready((counts, kmap_vals))
+    dt = time.perf_counter() - t0
+    rate = BATCH * ITERS / dt
+    print(f"[bench] {rate:.3e} kmers/s over {ITERS} iters of {BATCH}", file=sys.stderr)
+
+    base = cpu_baseline()
+    print(f"[bench] cpu baseline: {base:.3e} kmers/s", file=sys.stderr)
+    vs = rate / base if base > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "call_kmers_queried_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -197,7 +197,7 @@ def _mix16(jnp, a, in_off: int, sec_off: int):
 
 def _len17to128(jnp, a, length: int):
     n = a.shape[0]
-    acc = _bcast(jnp, _const(int(np.uint64(length) * PRIME64_1)), n)
+    acc = _bcast(jnp, _const((length * int(PRIME64_1)) & 0xFFFFFFFFFFFFFFFF), n)
     if length > 96:
         acc = _add(jnp, acc, _mix16(jnp, a, 48, 96))
         acc = _add(jnp, acc, _mix16(jnp, a, length - 64, 112))
@@ -214,7 +214,7 @@ def _len17to128(jnp, a, length: int):
 
 def _len129to240(jnp, a, length: int):
     n = a.shape[0]
-    acc = _bcast(jnp, _const(int(np.uint64(length) * PRIME64_1)), n)
+    acc = _bcast(jnp, _const((length * int(PRIME64_1)) & 0xFFFFFFFFFFFFFFFF), n)
     nb = length // 16
     for i in range(8):
         acc = _add(jnp, acc, _mix16(jnp, a, 16 * i, 16 * i))

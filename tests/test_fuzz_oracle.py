@@ -1,0 +1,81 @@
+"""Fuzz: pipeline output must match the compiled reference oracle
+byte-for-byte on random diploid/haploid inputs.
+
+The oracle is the reference's own main.cpp/var_block.hpp compiled against
+shims (tests/oracle/) — validated to reproduce the committed golden on the
+haploid example.  These tests cover the diploid path the missing chr20
+example would have covered: dense clusters, indels, multi-allelics,
+symbolic ALTs, unphased expansion, IUPAC reference bases.
+"""
+
+import io
+import os
+import subprocess
+
+import pytest
+
+from malva_tpu.pipeline import build_index, call
+from malva_tpu.utils.config import Config
+
+from fuzz_gen import gen_case
+
+ORACLE = "/tmp/malva_oracle/malva-geno-oracle"
+BUILD = os.path.join(os.path.dirname(__file__), "oracle", "build_oracle.sh")
+
+
+@pytest.fixture(scope="module")
+def oracle_bin():
+    if not os.path.exists("/root/reference/main.cpp"):
+        pytest.skip("reference sources unavailable")
+    if not os.path.exists(ORACLE):
+        subprocess.run(["bash", BUILD, ORACLE], check=True, capture_output=True)
+    return ORACLE
+
+
+def run_oracle(oracle_bin, fa, vcf, reads, haploid, tmp):
+    env = dict(os.environ, MALVA_ORACLE_REFK="43")
+    args = ["-k", "35", "-r", "43", "-b", "1", "-f", "AF"]
+    if haploid:
+        args = ["-1"] + args
+    idx = f"{vcf}.c43.k35.malvax.zst"
+    if os.path.exists(idx):
+        os.unlink(idx)
+    subprocess.run(
+        [oracle_bin, "index"] + args + [fa, vcf, reads],
+        check=True, capture_output=True, env=env, cwd=tmp,
+    )
+    out = subprocess.run(
+        [oracle_bin, "call"] + args + [fa, vcf, reads],
+        check=True, capture_output=True, env=env, cwd=tmp, text=True,
+    ).stdout
+    return out
+
+
+def run_pipeline(fa, vcf, reads, haploid):
+    cfg = Config(
+        fasta_path=fa, vcf_path=vcf, sample_path=reads,
+        bf_size=Config.bf_gb_to_bits(1), haploid=haploid,
+    )
+    index = build_index(cfg)
+    buf = io.StringIO()
+    call(cfg, index, buf)
+    return buf.getvalue()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,haploid", [(1, False), (2, False), (3, True), (4, False)])
+def test_fuzz_matches_oracle(oracle_bin, tmp_path, seed, haploid):
+    d = str(tmp_path)
+    fa, vcf, reads = gen_case(d, seed, haploid=haploid)
+    want = run_oracle(oracle_bin, fa, vcf, reads, haploid, d)
+    got = run_pipeline(fa, vcf, reads, haploid)
+    if got != want:
+        wl = want.splitlines()
+        gl = got.splitlines()
+        diffs = [
+            f"line {i}:\n  oracle: {a}\n  ours:   {b}"
+            for i, (a, b) in enumerate(zip(wl, gl)) if a != b
+        ][:10]
+        pytest.fail(
+            f"output mismatch ({len(diffs)}+ lines differ of {len(wl)}):\n" + "\n".join(diffs)
+        )

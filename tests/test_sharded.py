@@ -1,0 +1,58 @@
+"""Multi-chip sharded index parity with the host path (8-dev CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from malva_tpu.index.bloom_filter import BF
+from malva_tpu.index.kmap import KMAP
+from malva_tpu.parallel.mesh import make_mesh
+from malva_tpu.parallel.sharded_index import apply_sample_counts_sharded
+from malva_tpu.pipeline import Index, apply_sample_counts
+from malva_tpu.utils.config import Config
+
+
+def _index(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    bf = BF(cfg.bf_size)
+    ref_bf = KMAP()
+    ctx = BF(cfg.bf_size)
+    alt = alpha[rng.integers(0, 4, size=(400, cfg.k))]
+    ref = alpha[rng.integers(0, 4, size=(400, cfg.k))]
+    ctxk = alpha[rng.integers(0, 4, size=(300, cfg.ref_k))]
+    bf.add_keys(alt)
+    ref_bf.add_keys(ref)
+    ctx.add_keys(ctxk)
+    bf.switch_mode()
+    ctx.switch_mode()
+    return Index(bf=bf, ref_bf=ref_bf, context_bf=ctx), (alt, ref, ctxk)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_call_parity(n_dev):
+    import jax
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    cfg = Config(k=35, ref_k=43, bf_size=1 << 20)
+    rng = np.random.default_rng(42)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    host_idx, (alt, ref, ctxk) = _index(cfg)
+    shard_idx, _ = _index(cfg)
+
+    from malva_tpu.ops.seq import canonical
+
+    contexts = alpha[rng.integers(0, 4, size=(3000, cfg.ref_k))]
+    contexts[:300, 4:39] = alt[:300]
+    contexts[300:600, 4:39] = ref[:300]
+    contexts[600:900] = ctxk[:300]
+    contexts = canonical(contexts)
+    counters = rng.integers(1, 255, size=3000).astype(np.uint32)
+
+    apply_sample_counts(host_idx, contexts, counters, cfg)
+    mesh = make_mesh(n_dev)
+    apply_sample_counts_sharded(shard_idx, contexts, counters, cfg, mesh, batch=1024)
+
+    np.testing.assert_array_equal(host_idx.bf.counts, np.asarray(shard_idx.bf.counts))
+    assert host_idx.ref_bf.kmers == shard_idx.ref_bf.kmers
