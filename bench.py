@@ -85,26 +85,28 @@ def main() -> None:
         ctx_words = jnp.where(r2 == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
         pc = (words != 0).astype(jnp.uint32)
         rank = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(pc)[:-1]])
-        return words, rank, ctx_words
+        bf_packed = jnp.stack([words, rank], axis=1)
+        return bf_packed, ctx_words
 
-    words, rank, ctx_words = build_index(key)
+    bf_packed, ctx_words = build_index(key)
     counts = jnp.zeros(nwords, dtype=jnp.uint32)  # upper bound on popcount
 
-    # synthetic sorted exact-map keys (1M)
+    # synthetic exact-map: 1M random keys in the 4-way bucket table
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
-    from malva_tpu.index.device import pack2bit_u32_np
+    from malva_tpu.index.kmap_table import BucketTable
 
-    kk = pack2bit_u32_np(alpha[rng.integers(0, 4, size=(1 << 20, 35))], 35)
-    kk = kk[np.lexsort((kk[:, 2], kk[:, 1], kk[:, 0]))]
-    kmap_keys = jnp.asarray(kk)
-    kmap_vals = jnp.zeros(kk.shape[0], dtype=jnp.uint32)
+    key_arr = alpha[rng.integers(0, 4, size=(1 << 20, 35))]
+    keys = [key_arr[i].tobytes() for i in range(key_arr.shape[0])]
+    table = BucketTable(list(dict.fromkeys(keys)), 35)
+    kmap_keys = jnp.asarray(table.bucket_keys)
+    kmap_vals = jnp.asarray(table.vals)
 
-    step = make_call_step(35, 43, size_bits)
+    step = make_call_step(35, 43, size_bits, table.n_buckets)
     alpha_dev = jnp.asarray(alpha)
 
     @jax.jit
-    def bench_iter(i, words, rank, counts, ctx_words, kmap_keys, kmap_vals):
+    def bench_iter(i, bf_packed, counts, ctx_words, kmap_keys, kmap_vals):
         k = jax.random.fold_in(jax.random.PRNGKey(7), i)
         contexts = jnp.take(
             alpha_dev,
@@ -112,10 +114,10 @@ def main() -> None:
             axis=0,
         )
         counters = jnp.ones((BATCH,), dtype=jnp.uint32)
-        return step(words, rank, counts, ctx_words, kmap_keys, kmap_vals, contexts, counters)
+        return step(bf_packed, counts, ctx_words, kmap_keys, kmap_vals, contexts, counters)
 
     def it(i, counts, kmap_vals):
-        return bench_iter(i, words, rank, counts, ctx_words, kmap_keys, kmap_vals)
+        return bench_iter(i, bf_packed, counts, ctx_words, kmap_keys, kmap_vals)
 
     # warmup / compile
     counts, kmap_vals = it(0, counts, kmap_vals)

@@ -5,8 +5,16 @@ main.cpp:487-500, SURVEY.md §3.5): for every distinct canonical sample
 context k-mer, probe the context Bloom filter, canonicalize + hash the
 centered k-mer, scatter-add its count into the rank-compressed alt-allele
 counter array (unless the context is a known reference context), and
-scatter-add into the exact reference-allele map (binary search over
-2-bit-packed sorted keys).
+scatter-add into the exact reference-allele map.
+
+TPU-specific layout choices (measured on v5e — random-gather cost is per
+ROW, independent of row width up to ~48B):
+
+* the Bloom word and its rank (exclusive popcount cumsum) are interleaved
+  into one (W, 2) uint32 array so the counter path costs ONE gather;
+* the exact map is a 4-way bucketized hash table addressed by the same
+  XXH3 hash the Bloom probe computes — one gather per query instead of a
+  log2(M)-step binary search (see index.kmap_table).
 
 The step is a single jitted function over batched arrays; results are
 bit-identical to the host path (enforced by tests) because all arithmetic
@@ -15,15 +23,13 @@ is the same uint32 math.
 
 from __future__ import annotations
 
-import sys
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import numpy as np
 
 from ..ops import seq
-from ..ops.bloom_jax import pack2bit_jax, rank_counter_idx, bloom_test, scatter_add_u32, searchsorted_rows
+from ..ops.bloom_jax import pack2bit_jax, scatter_add_u32
 from ..ops.xxh3_jax import xxh3_64_jax, xxh3_mod_size
 from ..utils.config import Config
 
@@ -43,72 +49,70 @@ def pack2bit_u32_np(kmers: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def device_map_keys(index, cfg: Config) -> list:
+    """Exact-map keys that can match device-side sample queries: pure-ACGT,
+    full k length (sample contexts are pure ACGT; truncated/IUPAC keys can
+    never equal a sample center and keep their counts on host)."""
+    keys = [kb for kb in index.ref_bf.kmers if len(kb) == cfg.k]
+    if keys:
+        arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, cfg.k)
+        ok = seq.is_acgt(arr)
+        keys = [kb for kb, good in zip(keys, ok.tolist()) if good]
+    return keys
+
+
 @dataclass
 class DeviceIndex:
     """Arrays for the call-phase step, all device-resident under jit."""
 
-    bf_words: Any
-    bf_rank: Any
-    bf_counts: Any
-    ctx_words: Any
-    kmap_keys: Any  # (M, W) uint32, sorted lexicographically
-    kmap_vals: Any  # (M,) uint32
+    bf_packed: Any   # (W, 2) uint32: [word, rank]
+    bf_counts: Any   # (popcount,) uint32
+    ctx_words: Any   # (W,) uint32
+    kmap_keys: Any   # (n_buckets, 4*Wk) uint32
+    kmap_vals: Any   # (n_buckets*4,) uint32
     size_bits: int
     k: int
     ref_k: int
-    kmap_key_bytes: list  # host-side: original dict keys, aligned with rows
+    n_buckets: int
+    table: Any       # host BucketTable (for write_back)
 
     @classmethod
     def from_host(cls, index, cfg: Config) -> "DeviceIndex":
         import jax.numpy as jnp
 
+        from .kmap_table import BucketTable
+
         assert index.bf.mode, "switch_mode must have run"
         rank = index.bf.rank
         assert int(rank[-1]) < (1 << 32)
+        packed = np.stack([index.bf.words, rank.astype(np.uint32)], axis=1)
 
-        # exact-map: only pure-ACGT keys of length k can match sample
-        # queries (sample contexts are pure ACGT); others keep counts on host
-        keys = [kb for kb in index.ref_bf.kmers if len(kb) == cfg.k]
-        if keys:
-            arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, cfg.k)
-            ok = seq.is_acgt(arr)
-            keys = [kb for kb, good in zip(keys, ok.tolist()) if good]
-        if keys:
-            arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, cfg.k)
-            packed = pack2bit_u32_np(arr, cfg.k)
-            order = np.lexsort(tuple(packed[:, w] for w in range(packed.shape[1] - 1, -1, -1)))
-            packed = packed[order]
-            keys = [keys[i] for i in order.tolist()]
-            vals = np.array([index.ref_bf.kmers[kb] for kb in keys], dtype=np.uint32)
-        else:
-            packed = np.zeros((0, (cfg.k + 15) // 16), dtype=np.uint32)
-            vals = np.zeros(0, dtype=np.uint32)
+        table = BucketTable(device_map_keys(index, cfg), cfg.k)
+        table.set_vals_from(index.ref_bf.kmers)
 
         return cls(
-            bf_words=jnp.asarray(index.bf.words),
-            bf_rank=jnp.asarray(rank.astype(np.uint32)),
+            bf_packed=jnp.asarray(packed),
             bf_counts=jnp.asarray(index.bf.counts),
             ctx_words=jnp.asarray(index.context_bf.words),
-            kmap_keys=jnp.asarray(packed),
-            kmap_vals=jnp.asarray(vals),
+            kmap_keys=jnp.asarray(table.bucket_keys),
+            kmap_vals=jnp.asarray(table.vals),
             size_bits=cfg.bf_size,
             k=cfg.k,
             ref_k=cfg.ref_k,
-            kmap_key_bytes=keys,
+            n_buckets=table.n_buckets,
+            table=table,
         )
 
     def write_back(self, index) -> None:
         """Fold device counter state back into the host index."""
         index.bf.counts = np.asarray(self.bf_counts)
-        vals = np.asarray(self.kmap_vals)
-        for kb, v in zip(self.kmap_key_bytes, vals.tolist()):
-            index.ref_bf.kmers[kb] = int(v)
+        self.table.write_back(np.asarray(self.kmap_vals), index.ref_bf.kmers)
 
 
-def make_call_step(k: int, ref_k: int, size_bits: int):
+def make_call_step(k: int, ref_k: int, size_bits: int, n_buckets: int):
     """Build the jitted fused query/update step.
 
-    step(bf_words, bf_rank, bf_counts, ctx_words, kmap_keys, kmap_vals,
+    step(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
          contexts, counters) -> (bf_counts, kmap_vals)
 
     contexts: (B, ref_k) uint8 canonical sample k-mers; counters: (B,)
@@ -117,28 +121,109 @@ def make_call_step(k: int, ref_k: int, size_bits: int):
     import jax
     import jax.numpy as jnp
 
+    from .kmap_table import probe_bucket_table
+
     off = (ref_k - k) // 2
+    w_k = (k + 15) // 16
 
     @jax.jit
-    def step(bf_words, bf_rank, bf_counts, ctx_words, kmap_keys, kmap_vals, contexts, counters):
+    def step(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals, contexts, counters):
         ctx_hash = xxh3_64_jax(contexts)
         cw, cb = xxh3_mod_size(ctx_hash, size_bits)
-        ctx_known = bloom_test(ctx_words, cw, cb)
+        wv = jnp.take(ctx_words, cw, axis=0)
+        ctx_known = ((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
 
         centers = contexts[:, off : off + k]
         centers_canon = seq.canonical_jax(centers)
         ch = xxh3_64_jax(centers_canon)
         bw, bb = xxh3_mod_size(ch, size_bits)
-        is_set, cnt_idx = rank_counter_idx(bf_words, bf_rank, bw, bb)
+        row = jnp.take(bf_packed, bw, axis=0)  # (B, 2): word, rank
+        word = row[:, 0]
+        bbu = bb.astype(jnp.uint32)
+        is_set = ((word >> bbu) & jnp.uint32(1)).astype(bool)
+        below = word & ((jnp.uint32(1) << bbu) - jnp.uint32(1))
+        cnt_idx = (row[:, 1] + jax.lax.population_count(below)).astype(jnp.int32)
         upd = (~ctx_known) & is_set
         bf_counts = scatter_add_u32(bf_counts, cnt_idx, counters, upd)
 
         packed = pack2bit_jax(centers_canon, k)
-        kidx, found = searchsorted_rows(kmap_keys, packed)
-        kmap_vals = scatter_add_u32(kmap_vals, kidx, counters, found)
+        slot, found = probe_bucket_table(
+            kmap_keys, n_buckets, w_k, packed, ch[:, 0], ch[:, 1]
+        )
+        kmap_vals = scatter_add_u32(kmap_vals, slot, counters, found)
         return bf_counts, kmap_vals
 
     return step
+
+
+def make_ref_scan_step(k: int, ref_k: int, size_bits: int, chunk: int):
+    """Device version of the index-phase reference scan (hot loop C,
+    main.cpp:382-401): for every ref_k-window of the reference whose
+    centered k-mer hits the alt-allele filter, set the window's bit in the
+    context filter.
+
+    scan(bf_words, ctx_words, ref_chunk, n_valid) -> ctx_words
+    ref_chunk: (chunk + ref_k - 1,) uint8, zero-padded at the tail;
+    lanes >= n_valid are masked out exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    off = (ref_k - k) // 2
+
+    @jax.jit
+    def scan(bf_words, ctx_words, ref_chunk, n_valid):
+        cols = [
+            jax.lax.dynamic_slice(ref_chunk, (j,), (chunk,)) for j in range(ref_k)
+        ]
+        win = jnp.stack(cols, axis=1)  # (chunk, ref_k)
+        centers = seq.canonical_jax(win[:, off : off + k])
+        h = xxh3_64_jax(centers)
+        bw, bb = xxh3_mod_size(h, size_bits)
+        wv = jnp.take(bf_words, bw, axis=0)
+        hit = ((wv >> bb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
+        lane = jnp.arange(chunk, dtype=jnp.int32)
+        hit = hit & (lane < n_valid)
+
+        ctxc = seq.canonical_jax(win)
+        h2 = xxh3_64_jax(ctxc)
+        cw, cb = xxh3_mod_size(h2, size_bits)
+        from ..ops.bloom_jax import bloom_set
+
+        return bloom_set(ctx_words, cw, cb, mask=hit)
+
+    return scan
+
+
+def build_context_device(index, refs_used: list[np.ndarray], cfg: Config, chunk: int = 1 << 20):
+    """Run the reference context scan on device, updating
+    index.context_bf.words in place.  Equivalent to the host scan in
+    pipeline.build_index."""
+    import jax.numpy as jnp
+
+    scan = make_ref_scan_step(cfg.k, cfg.ref_k, cfg.bf_size, chunk)
+    bf_words = jnp.asarray(index.bf.words)
+    ctx_words = jnp.asarray(index.context_bf.words)
+    for ref in refs_used:
+        L = len(ref)
+        if L < cfg.ref_k:
+            # upstream's clamped single-probe for short contigs: host path
+            off = cfg.center_off
+            if L > off:
+                sub = ref[off : off + cfg.k][None, :]
+                if index.bf.test_keys(sub)[0]:
+                    index.context_bf.add_keys(ref[: cfg.ref_k][None, :])
+            continue
+        n_pos = L - cfg.ref_k + 1
+        for start in range(0, n_pos, chunk):
+            n_valid = min(chunk, n_pos - start)
+            piece = ref[start : start + chunk + cfg.ref_k - 1]
+            if piece.shape[0] < chunk + cfg.ref_k - 1:
+                piece = np.concatenate(
+                    [piece, np.zeros(chunk + cfg.ref_k - 1 - piece.shape[0], np.uint8)]
+                )
+            ctx_words = scan(bf_words, ctx_words, jnp.asarray(piece), n_valid)
+    index.context_bf.words = np.asarray(ctx_words)
 
 
 def apply_sample_counts_device(
@@ -148,7 +233,7 @@ def apply_sample_counts_device(
     distinct sample contexts through the fused step, then fold the counter
     state back into the host index."""
     dev = DeviceIndex.from_host(index, cfg)
-    step = make_call_step(cfg.k, cfg.ref_k, dev.size_bits)
+    step = make_call_step(cfg.k, cfg.ref_k, dev.size_bits, dev.n_buckets)
     bf_counts, kmap_vals = dev.bf_counts, dev.kmap_vals
     n = contexts.shape[0]
     for start in range(0, max(n, 1), batch):
@@ -161,8 +246,7 @@ def apply_sample_counts_device(
             chunk = np.concatenate([chunk, np.full((pad, cfg.ref_k), ord("A"), np.uint8)])
             cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
         bf_counts, kmap_vals = step(
-            dev.bf_words, dev.bf_rank, bf_counts, dev.ctx_words,
-            dev.kmap_keys, kmap_vals, chunk, cnts,
+            dev.bf_packed, bf_counts, dev.ctx_words, dev.kmap_keys, kmap_vals, chunk, cnts
         )
     dev.bf_counts, dev.kmap_vals = bf_counts, kmap_vals
     dev.write_back(index)

@@ -56,22 +56,31 @@ def scatter_add_u32(counts, cnt_idx, vals, mask):
     return counts.at[idx].add(vals.astype(counts.dtype), mode="drop")
 
 
-def bloom_set(words, word_idx, bit):
-    """Set bits (build path).  Correct under duplicate (word,bit) pairs:
-    gathers the current word, adds only bits not already set, after
-    deduplicating exact duplicates via sort."""
+def bloom_set(words, word_idx, bit, mask=None):
+    """Set bits (build path) via scatter-add, correct under duplicates.
+
+    There is no scatter-OR on TPU, so: lexicographically sort the
+    (word, bit) pairs (stable two-key lax.sort — no 37-bit packed key
+    needed for large filters), drop exact duplicates, gather the current
+    word and add only bits not already set.  Lanes where ``mask`` is
+    False are routed out of bounds and dropped.
+    """
     jnp = _jnp()
     from jax import lax
 
-    key = (word_idx.astype(jnp.uint32) << 5) | bit.astype(jnp.uint32)
-    key = jnp.sort(key)
-    dup = jnp.concatenate([jnp.zeros(1, bool), key[1:] == key[:-1]])
-    w_idx = (key >> 5).astype(jnp.int32)
-    b = key & jnp.uint32(31)
-    current = jnp.take(words, w_idx, axis=0)
-    already = ((current >> b) & jnp.uint32(1)).astype(bool)
-    add = jnp.where(dup | already, jnp.uint32(0), jnp.uint32(1) << b)
-    return words.at[w_idx].add(add)
+    n = words.shape[0]
+    w = word_idx.astype(jnp.int32)
+    if mask is not None:
+        w = jnp.where(mask, w, jnp.int32(n))
+    w_s, b_s = lax.sort((w, bit.astype(jnp.uint32)), num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros(1, bool), (w_s[1:] == w_s[:-1]) & (b_s[1:] == b_s[:-1])]
+    )
+    safe_w = jnp.minimum(w_s, n - 1)
+    current = jnp.take(words, safe_w, axis=0)
+    already = ((current >> b_s) & jnp.uint32(1)).astype(bool)
+    add = jnp.where(dup | already, jnp.uint32(0), jnp.uint32(1) << b_s)
+    return words.at[w_s].add(add, mode="drop")
 
 
 def pack2bit_jax(kmers, k: int):
@@ -80,12 +89,12 @@ def pack2bit_jax(kmers, k: int):
     Non-ACGT bytes map to code 3 (callers must pre-filter if that matters).
     """
     jnp = _jnp()
-    # A=0b00, C=0b01, G=0b10, T=0b11 from ASCII: (c >> 1 ^ c >> 2) & 3
-    # A=65(0b1000001) -> 0; C=67 -> 1; G=71 -> 3^2? use lookup instead.
-    table = np.full(256, 3, dtype=np.uint8)
-    for i, ch in enumerate(b"ACGT"):
-        table[ch] = i
-    codes = jnp.take(jnp.asarray(table), kmers.astype(jnp.int32), axis=0).astype(jnp.uint32)
+    # Arithmetic ACGT->0..3 (alphabetical order): c2 = (c>>1)&3 gives
+    # A->0 C->1 G->3 T->2; XOR with its own bit1 swaps 2<->3.  No table
+    # gather (slow on TPU).  Non-ACGT bytes produce arbitrary codes —
+    # callers only pack pure-ACGT canonical k-mers.
+    c2 = ((kmers.astype(jnp.uint32)) >> 1) & jnp.uint32(3)
+    codes = c2 ^ (c2 >> 1)
     nwords = (k + 15) // 16
     cols = []
     for w in range(nwords):

@@ -142,12 +142,31 @@ def is_acgt(kmers: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def complement_jax(kmers):
+    """RCN complement as an arithmetic select chain.
+
+    Table gathers (jnp.take) are pathologically slow on TPU for byte
+    lookups; a chain of vectorized compares/selects runs on the VPU at
+    full rate.  Matches RCN_TABLE exactly (incl. lowercase quirks and
+    0 for everything else).
+    """
+    import jax.numpy as jnp
+
+    c = kmers
+    out = jnp.zeros_like(c)
+    for src, dst in [
+        (b"A", b"T"), (b"C", b"G"), (b"G", b"C"), (b"N", b"N"), (b"T", b"A"),
+        (b"a", b"T"), (b"c", b"G"), (b"g", b"G"), (b"n", b"N"), (b"t", b"A"),
+    ]:
+        out = jnp.where(c == src[0], jnp.uint8(dst[0]), out)
+    return out
+
+
 def canonical_jax(kmers):
     """jnp mirror of :func:`canonical` for (N, K) uint8 device arrays."""
     import jax.numpy as jnp
 
-    rcn = jnp.asarray(RCN_TABLE)
-    rc = jnp.take(rcn, kmers.astype(jnp.int32), axis=0)[:, ::-1]
+    rc = complement_jax(kmers)[:, ::-1]
     k = kmers.shape[1]
     less = jnp.zeros(kmers.shape[0], dtype=bool)
     decided = jnp.zeros(kmers.shape[0], dtype=bool)

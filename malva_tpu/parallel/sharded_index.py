@@ -13,6 +13,11 @@ entirely local to the owning shard (deterministic: uint32 adds are
 commutative), and per-shard counter state concatenates back into exactly
 the host layout.
 
+Per-shard layouts mirror the single-chip ones (index.device): Bloom word
+and local rank interleaved (one gather), exact map as a 4-way bucket
+table addressed by the already-computed XXH3 (one gather), sharded by
+contiguous bucket ranges.
+
 Collectives used: all_gather (batch), psum (context membership bits) —
 both ride ICI inside a pod slice.
 """
@@ -20,31 +25,29 @@ both ride ICI inside a pod slice.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import numpy as np
 
-from ..index.device import pack2bit_u32_np
+from ..index.device import device_map_keys
+from ..index.kmap_table import SLOTS, BucketTable, probe_bucket_table
 from ..ops import seq
-from ..ops.bloom_jax import pack2bit_jax, scatter_add_u32, searchsorted_rows
+from ..ops.bloom_jax import pack2bit_jax, scatter_add_u32
 from ..ops.xxh3_jax import xxh3_64_jax, xxh3_mod_size
 from ..utils.config import Config
 
 
 @dataclass
 class ShardedIndexState:
-    bf_words: Any      # (S, W/S) uint32
-    bf_rank: Any       # (S, W/S) uint32, exclusive popcount cumsum *per shard*
+    bf_packed: Any     # (S, W/S, 2) uint32: [word, local rank]
     bf_counts: Any     # (S, Cmax) uint32, padded
     ctx_words: Any     # (S, W/S) uint32
-    kmap_keys: Any     # (S, Mmax, Wk) uint32, sorted, padded with 0xFFFFFFFF
-    kmap_vals: Any     # (S, Mmax) uint32
-    # host-side bookkeeping for write_back
+    kmap_keys: Any     # (S, NB/S, 4*Wk) uint32
+    kmap_vals: Any     # (S, NB/S * 4) uint32
     counts_len: list
-    kmap_len: list
-    kmap_key_bytes: list  # per shard list of dict keys
+    table: Any         # host BucketTable (global)
     n_shards: int
+    n_buckets: int     # global bucket count
     size_bits: int
 
 
@@ -63,7 +66,9 @@ def shard_index(index, cfg: Config, n_shards: int) -> ShardedIndexState:
 
     pc = np.bitwise_count(bf_words).astype(np.uint32)
     local_rank = np.zeros_like(pc)
-    local_rank[:, 1:] = np.cumsum(pc, axis=1)[:, :-1]
+    local_rank[:, 1:] = np.cumsum(pc, axis=1)[:, :-1].astype(np.uint32)
+    bf_packed = np.stack([bf_words, local_rank], axis=2)
+
     per_shard = pc.sum(axis=1).astype(np.int64)
     cmax = max(1, int(per_shard.max()))
     counts = np.zeros((S, cmax), dtype=np.uint32)
@@ -71,52 +76,24 @@ def shard_index(index, cfg: Config, n_shards: int) -> ShardedIndexState:
     for s in range(S):
         counts[s, : per_shard[s]] = index.bf.counts[starts[s] : starts[s + 1]]
 
-    # exact map sharded by the top bits of the first packed word
-    sbits = int(np.log2(S)) if S > 1 else 0
-    assert (1 << sbits) == S, "n_shards must be a power of two"
-    keys = [kb for kb in index.ref_bf.kmers if len(kb) == cfg.k]
-    if keys:
-        arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, cfg.k)
-        ok = seq.is_acgt(arr)
-        keys = [kb for kb, good in zip(keys, ok.tolist()) if good]
-    wk = (cfg.k + 15) // 16
-    if keys:
-        arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, cfg.k)
-        packed = pack2bit_u32_np(arr, cfg.k)
-        order = np.lexsort(tuple(packed[:, w] for w in range(wk - 1, -1, -1)))
-        packed = packed[order]
-        keys = [keys[i] for i in order.tolist()]
-        vals = np.array([index.ref_bf.kmers[kb] for kb in keys], dtype=np.uint32)
-        shard_of = (packed[:, 0] >> np.uint32(32 - sbits)) if sbits else np.zeros(len(keys), np.uint32)
-        bounds = np.searchsorted(shard_of, np.arange(S + 1))
-    else:
-        packed = np.zeros((0, wk), dtype=np.uint32)
-        vals = np.zeros(0, dtype=np.uint32)
-        bounds = np.zeros(S + 1, dtype=np.int64)
-
-    mmax = max(1, int((bounds[1:] - bounds[:-1]).max()) if S else 1)
-    kk = np.full((S, mmax, wk), 0xFFFFFFFF, dtype=np.uint32)
-    kv = np.zeros((S, mmax), dtype=np.uint32)
-    key_bytes = []
-    klen = []
-    for s in range(S):
-        lo, hi = int(bounds[s]), int(bounds[s + 1])
-        kk[s, : hi - lo] = packed[lo:hi]
-        kv[s, : hi - lo] = vals[lo:hi]
-        key_bytes.append(keys[lo:hi])
-        klen.append(hi - lo)
+    # exact map: global bucket table split into contiguous bucket ranges
+    # (min_buckets=S keeps n_buckets divisible — both are powers of two)
+    table = BucketTable(device_map_keys(index, cfg), cfg.k, min_buckets=S)
+    table.set_vals_from(index.ref_bf.kmers)
+    nbps = table.n_buckets // S
+    kk = table.bucket_keys.reshape(S, nbps, SLOTS * table.w)
+    kv = table.vals.reshape(S, nbps * SLOTS)
 
     return ShardedIndexState(
-        bf_words=jnp.asarray(bf_words),
-        bf_rank=jnp.asarray(local_rank),
+        bf_packed=jnp.asarray(bf_packed),
         bf_counts=jnp.asarray(counts),
         ctx_words=jnp.asarray(ctx_words),
         kmap_keys=jnp.asarray(kk),
         kmap_vals=jnp.asarray(kv),
         counts_len=per_shard.tolist(),
-        kmap_len=klen,
-        kmap_key_bytes=key_bytes,
+        table=table,
         n_shards=S,
+        n_buckets=table.n_buckets,
         size_bits=cfg.bf_size,
     )
 
@@ -126,39 +103,31 @@ def write_back(state: ShardedIndexState, index) -> None:
     index.bf.counts = np.concatenate(
         [counts[s, : state.counts_len[s]] for s in range(state.n_shards)]
     )
-    vals = np.asarray(state.kmap_vals)
-    for s in range(state.n_shards):
-        for kb, v in zip(state.kmap_key_bytes[s], vals[s, : state.kmap_len[s]].tolist()):
-            index.ref_bf.kmers[kb] = int(v)
+    vals = np.asarray(state.kmap_vals).reshape(-1)
+    state.table.write_back(vals, index.ref_bf.kmers)
 
 
-def make_sharded_call_step(mesh, k: int, ref_k: int, size_bits: int, n_shards: int):
+def make_sharded_call_step(mesh, k: int, ref_k: int, size_bits: int, n_shards: int, n_buckets: int):
     """Jitted multi-device call step under shard_map.
 
-    step(bf_words, bf_rank, bf_counts, ctx_words, kmap_keys, kmap_vals,
+    step(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
          contexts, counters) with index arrays sharded on axis 0 and the
     batch sharded on axis 0 (data parallel); returns updated
     (bf_counts, kmap_vals) shards.
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
 
     off = (ref_k - k) // 2
+    w_k = (k + 15) // 16
     W_total = size_bits // 32
     wps = W_total // n_shards
-    sbits = int(np.log2(n_shards)) if n_shards > 1 else 0
+    nbps = n_buckets // n_shards
 
-    def _local(word_idx, my_shard):
-        local = word_idx - my_shard * wps
-        mine = (local >= 0) & (local < wps)
-        return jnp.clip(local, 0, wps - 1), mine
-
-    def step(bf_words, bf_rank, bf_counts, ctx_words, kmap_keys, kmap_vals, contexts, counters):
-        # leading shard dim of size 1 inside shard_map; drop it
-        bf_words = bf_words[0]
-        bf_rank = bf_rank[0]
+    def step(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals, contexts, counters):
+        bf_packed = bf_packed[0]
         bf_counts = bf_counts[0]
         ctx_words = ctx_words[0]
         kmap_keys = kmap_keys[0]
@@ -166,52 +135,59 @@ def make_sharded_call_step(mesh, k: int, ref_k: int, size_bits: int, n_shards: i
 
         my = jax.lax.axis_index("shard")
 
-        # data-parallel batch: gather all slices (DCN/ICI all_gather)
+        # data-parallel batch: gather all slices (ICI all_gather)
         contexts = jax.lax.all_gather(contexts, "shard", axis=0, tiled=True)
         counters = jax.lax.all_gather(counters, "shard", axis=0, tiled=True)
 
         # context membership: probe local range, merge bits across shards
         ctx_hash = xxh3_64_jax(contexts)
         cw, cb = xxh3_mod_size(ctx_hash, size_bits)
-        lcw, cmine = _local(cw, my)
-        w = jnp.take(ctx_words, lcw, axis=0)
-        hit_local = cmine & (((w >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool))
+        lcw = cw - my * wps
+        cmine = (lcw >= 0) & (lcw < wps)
+        wv = jnp.take(ctx_words, jnp.clip(lcw, 0, wps - 1), axis=0)
+        hit_local = cmine & (((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool))
         ctx_known = jax.lax.psum(hit_local.astype(jnp.int32), "shard") > 0
 
         # centered k-mer -> canonical -> counter update in local range
         centers = seq.canonical_jax(contexts[:, off : off + k])
         ch = xxh3_64_jax(centers)
         bw, bb = xxh3_mod_size(ch, size_bits)
-        lbw, bmine = _local(bw, my)
-        wv = jnp.take(bf_words, lbw, axis=0)
+        lbw = bw - my * wps
+        bmine = (lbw >= 0) & (lbw < wps)
+        row = jnp.take(bf_packed, jnp.clip(lbw, 0, wps - 1), axis=0)
+        word = row[:, 0]
         bbu = bb.astype(jnp.uint32)
-        is_set = ((wv >> bbu) & jnp.uint32(1)).astype(bool)
-        below = wv & ((jnp.uint32(1) << bbu) - jnp.uint32(1))
-        cnt_idx = (jnp.take(bf_rank, lbw, axis=0) + jax.lax.population_count(below)).astype(jnp.int32)
+        is_set = ((word >> bbu) & jnp.uint32(1)).astype(bool)
+        below = word & ((jnp.uint32(1) << bbu) - jnp.uint32(1))
+        cnt_idx = (row[:, 1] + jax.lax.population_count(below)).astype(jnp.int32)
         upd = bmine & (~ctx_known) & is_set
         bf_counts = scatter_add_u32(bf_counts, cnt_idx, counters, upd)
 
-        # exact map: local key-range search
+        # exact map: contiguous bucket ranges per shard
         packed = pack2bit_jax(centers, k)
-        qshard = (packed[:, 0] >> np.uint32(32 - sbits)).astype(jnp.int32) if sbits else jnp.zeros(packed.shape[0], jnp.int32)
-        kidx, found = searchsorted_rows(kmap_keys, packed)
-        found = found & (qshard == my)
-        kmap_vals = scatter_add_u32(kmap_vals, kidx, counters, found)
+        gbucket = ((ch[:, 1] ^ ch[:, 0]) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+        lbucket = gbucket - my * nbps
+        kmine = (lbucket >= 0) & (lbucket < nbps)
+        rows = jnp.take(kmap_keys, jnp.clip(lbucket, 0, nbps - 1), axis=0)
+        found = jnp.zeros(packed.shape[0], dtype=bool)
+        slot = jnp.zeros(packed.shape[0], dtype=jnp.int32)
+        for s in range(SLOTS):
+            eq = jnp.ones(packed.shape[0], dtype=bool)
+            for j in range(w_k):
+                eq = eq & (rows[:, s * w_k + j] == packed[:, j])
+            slot = jnp.where(eq & ~found, jnp.clip(lbucket, 0, nbps - 1) * SLOTS + s, slot)
+            found = found | eq
+        kmap_vals = scatter_add_u32(kmap_vals, slot, counters, found & kmine)
 
         return bf_counts[None], kmap_vals[None]
 
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(
-            P("shard"), P("shard"), P("shard"), P("shard"), P("shard"), P("shard"),
-            P("shard"), P("shard"),
-        ),
+        in_specs=(P("shard"), P("shard"), P("shard"), P("shard"), P("shard"), P("shard"), P("shard")),
         out_specs=(P("shard"), P("shard")),
         check_rep=False,
     )
-    import jax
-
     return jax.jit(sharded)
 
 
@@ -221,7 +197,7 @@ def apply_sample_counts_sharded(
     """Multi-device equivalent of pipeline.apply_sample_counts."""
     S = mesh.devices.size
     state = shard_index(index, cfg, S)
-    step = make_sharded_call_step(mesh, cfg.k, cfg.ref_k, cfg.bf_size, S)
+    step = make_sharded_call_step(mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, state.n_buckets)
     bf_counts, kmap_vals = state.bf_counts, state.kmap_vals
     n = contexts.shape[0]
     batch = max(batch - batch % S, S)
@@ -231,12 +207,11 @@ def apply_sample_counts_sharded(
         if chunk.shape[0] == 0:
             break
         if chunk.shape[0] % S or (chunk.shape[0] < batch and n > batch):
-            pad = batch - chunk.shape[0]
+            pad = (S - chunk.shape[0] % S) % S if chunk.shape[0] % S else batch - chunk.shape[0]
             chunk = np.concatenate([chunk, np.full((pad, cfg.ref_k), ord("A"), np.uint8)])
             cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
         bf_counts, kmap_vals = step(
-            state.bf_words, state.bf_rank, bf_counts, state.ctx_words,
-            state.kmap_keys, kmap_vals, chunk, cnts,
+            state.bf_packed, bf_counts, state.ctx_words, state.kmap_keys, kmap_vals, chunk, cnts
         )
     state.bf_counts, state.kmap_vals = bf_counts, kmap_vals
     write_back(state, index)

@@ -184,31 +184,65 @@ class VB:
             last_end = v.ref_pos + v.ref_size
         return subs
 
+    def _unique_profiles(self, haploid: bool) -> dict[int, int]:
+        """Deduplicate individuals by their joint genotype over the block's
+        present variants.
+
+        The reference iterates build_alleles_combs over every individual
+        (var_block.hpp:743); since results land in a dedup set, iterating
+        the *unique* joint genotypes is equivalent and turns cohort-scale
+        sample counts (30k in the SARS-CoV-2 example) into a handful of
+        profiles per block.  Returns nothing useful per se — it populates
+        self._profiles (tuple per unique individual, elements aligned with
+        self._present_order) and self._present_pos (variant index ->
+        position in profile tuples).
+        """
+        present = [j for j, v in enumerate(self.variants) if v.is_present and v.genotypes]
+        self._present_pos = {j: p for p, j in enumerate(present)}
+        cols = [self.variants[j] for j in present]
+        profiles: set[tuple] = set()
+        if cols:
+            n_ind = len(cols[0].genotypes)
+            if haploid:
+                for i in range(n_ind):
+                    profiles.add(tuple(v.genotypes[i][0] for v in cols))
+            else:
+                for i in range(n_ind):
+                    profiles.add(
+                        tuple((v.genotypes[i][0], v.genotypes[i][1], v.phasing[i]) for v in cols)
+                    )
+        self._profiles = profiles
+
     def _build_alleles_combs(
         self, comb: list[int], central_index: int, haploid: bool
     ) -> set[tuple[bytes, ...]]:
-        """var_block.hpp:734-786, with incremental dedup replacing the
-        explicit 2^n haplotype table of combine_haplotypes (same set)."""
+        """var_block.hpp:734-786 over unique genotype profiles, with
+        incremental dedup replacing the explicit 2^n haplotype table of
+        combine_haplotypes (same final set)."""
         aacs: set[tuple[bytes, ...]] = set()
-        central = self.variants[central_index]
         variants = self.variants
-        for gt_i in range(len(central.genotypes)):
-            if haploid:
+        pos = self._present_pos
+        comb_pos = [pos[j] for j in comb]
+        if haploid:
+            seen: set[tuple] = set()
+            for prof in self._profiles:
+                sub = tuple(prof[p] for p in comb_pos)
+                if sub in seen:
+                    continue
+                seen.add(sub)
                 aacs.add(
-                    tuple(
-                        _get_allele(variants[j], variants[j].genotypes[gt_i][0])
-                        for j in comb
-                    )
+                    tuple(_get_allele(variants[j], a) for j, a in zip(comb, sub))
                 )
-            else:
-                phased = True
-                hap1: list[bytes] = []
-                hap2: list[bytes] = []
-                for j in comb:
-                    vj = variants[j]
-                    phased &= vj.phasing[gt_i]
-                    hap1.append(_get_allele(vj, vj.genotypes[gt_i][0]))
-                    hap2.append(_get_allele(vj, vj.genotypes[gt_i][1]))
+        else:
+            seen = set()
+            for prof in self._profiles:
+                sub = tuple(prof[p] for p in comb_pos)
+                if sub in seen:
+                    continue
+                seen.add(sub)
+                phased = all(t[2] for t in sub)
+                hap1 = [_get_allele(variants[j], t[0]) for j, t in zip(comb, sub)]
+                hap2 = [_get_allele(variants[j], t[1]) for j, t in zip(comb, sub)]
                 if phased:
                     aacs.add(tuple(hap1))
                     aacs.add(tuple(hap2))
@@ -226,6 +260,7 @@ class VB:
     # -- signature extraction (var_block.hpp:95-219) -----------------------
     def extract_kmers(self, reference: bytes, haploid: bool) -> dict:
         k = self.k
+        self._unique_profiles(haploid)
         kmers: dict[int, dict[int, list[list[bytes]]]] = {}
         for v_index in range(len(self.variants)):
             _kmers: dict[int, list[list[bytes]]] = {}

@@ -119,3 +119,37 @@ def test_device_call_step_parity_with_host():
 
     np.testing.assert_array_equal(index_h.bf.counts, np.asarray(index_d.bf.counts))
     assert index_h.ref_bf.kmers == index_d.ref_bf.kmers
+
+
+def test_device_ref_scan_parity():
+    """Device context scan == host context scan (index phase hot loop C)."""
+    import jax.numpy as jnp
+
+    from malva_tpu.index.device import build_context_device
+
+    cfg = Config(k=35, ref_k=43, bf_size=1 << 20)
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    ref = alpha[rng.integers(0, 5, size=5000)]
+
+    def make(seed):
+        idx, (alt_keys, _, _) = _tiny_index(cfg, seed=seed)
+        return idx, alt_keys
+
+    host_idx, _ = make(7)
+    dev_idx, _ = make(7)
+    # plant some centers from the reference so the scan has hits
+    for start in (100, 500, 900, 1300):
+        host_idx.bf.add_keys(ref[start + 4 : start + 39][None, :])
+        dev_idx.bf.add_keys(ref[start + 4 : start + 39][None, :])
+
+    # host scan (as in pipeline.build_index)
+    off = cfg.center_off
+    n_pos = len(ref) - cfg.ref_k + 1
+    windows = np.lib.stride_tricks.sliding_window_view(ref, cfg.ref_k)[:n_pos]
+    hits = host_idx.bf.test_keys(np.ascontiguousarray(windows[:, off : off + cfg.k]))
+    host_idx.context_bf.add_keys(np.ascontiguousarray(windows[hits]))
+
+    build_context_device(dev_idx, [ref], cfg, chunk=512)
+
+    np.testing.assert_array_equal(host_idx.context_bf.words, dev_idx.context_bf.words)
