@@ -23,7 +23,7 @@ from .utils.timing import PhaseTimer
 def _parser(prog: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog=prog, add_help=True)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("index", "call", "run"):
+    for name in ("index", "call", "run", "batch"):
         sp = sub.add_parser(name)
         sp.add_argument("-k", "--kmer-size", type=int, default=35)
         sp.add_argument("-r", "--ref-kmer-size", type=int, default=43)
@@ -38,15 +38,20 @@ def _parser(prog: str) -> argparse.ArgumentParser:
         sp.add_argument("-1", "--haploid", action="store_true", dest="haploid")
         sp.add_argument("reference")
         sp.add_argument("variants")
-        sp.add_argument("sample", help="reads file, FASTA/FASTQ (.gz ok)")
+        if name == "batch":
+            sp.add_argument("sample", nargs="+", help="reads files, FASTA/FASTQ (.gz ok)")
+            sp.add_argument("-o", "--out-dir", default=".", help="output directory for per-sample VCFs")
+        else:
+            sp.add_argument("sample", help="reads file, FASTA/FASTQ (.gz ok)")
     return p
 
 
 def _config(args: argparse.Namespace) -> Config:
+    sample = args.sample[0] if isinstance(args.sample, list) else args.sample
     return Config(
         fasta_path=args.reference,
         vcf_path=args.variants,
-        sample_path=args.sample,
+        sample_path=sample,
         k=args.kmer_size,
         ref_k=args.ref_kmer_size,
         error_rate=np.float32(args.error_rate),
@@ -80,6 +85,35 @@ def main(argv: list[str] | None = None) -> int:
         index = load_index(path)
         timer.pelapsed("Index loaded")
         call(cfg, index, sys.stdout, timer)
+        return 0
+
+    if args.cmd == "batch":
+        from .pipeline import call_batch
+
+        path = cfg.index_path()
+        if os.path.exists(path):
+            print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
+            index = load_index(path)
+        else:
+            index = build_index(cfg, timer)
+        os.makedirs(args.out_dir, exist_ok=True)
+        outs = []
+        names = []
+        seen: dict[str, int] = {}
+        for sp in args.sample:
+            base = os.path.basename(sp).split(".")[0]
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            if n:
+                base = f"{base}.{n}"
+            names.append(os.path.join(args.out_dir, f"{base}.malva.vcf"))
+            outs.append(open(names[-1], "w"))
+        try:
+            call_batch(cfg, index, args.sample, outs, timer)
+        finally:
+            for f in outs:
+                f.close()
+        print("[malva-tpu] wrote: " + " ".join(names), file=sys.stderr)
         return 0
 
     # run: end to end, in process

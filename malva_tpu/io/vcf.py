@@ -82,7 +82,15 @@ class VcfRecord:
     filt: str
     info: str
     fmt: Optional[str]
-    sample_fields: list[str]
+    samples_raw: str          # unsplit tail of the line (columns 10+)
+    n_samples: int
+    _fields: Optional[list[str]] = None
+
+    @property
+    def sample_fields(self) -> list[str]:
+        if self._fields is None:
+            self._fields = self.samples_raw.split("\t") if self.samples_raw else []
+        return self._fields
 
     def info_floats(self, key: str) -> Optional[list[np.float32]]:
         """Float values of an INFO key, or None if absent (bcf_get_info_float)."""
@@ -106,35 +114,82 @@ class VcfRecord:
             return np.float32("nan")
         return np.float32(self.qual_raw)
 
-    def genotypes_flat(self, selected: list[int]) -> Optional[tuple[list[int], int]]:
-        """htslib-like flat GT array over the selected samples.
+    def genotypes_arrays(self, selected) -> Optional[tuple[np.ndarray, int]]:
+        """htslib-encoded GT matrix over the selected samples.
 
-        Returns (flat encoded ints, max_ploidy) or None when the record
-        carries no GT data (mirrors bcf_get_genotypes(...) <= 0,
-        variant.hpp:169-174).
+        Returns ((n_selected, max_ploidy) int64 array with VECTOR_END
+        padding, max_ploidy) or None when the record carries no GT data
+        (mirrors bcf_get_genotypes(...) <= 0, variant.hpp:169-174).
+        max_ploidy spans ALL samples (htslib parses before subsetting).
+
+        Cohort fast path: when FORMAT starts with GT and every sample
+        field matches the fixed-width single-digit pattern ("a|b" or a
+        lone "a"), the whole region is decoded with numpy in one pass.
         """
-        if self.fmt is None or not selected:
+        if self.fmt is None or len(selected) == 0:
             return None
         fmt_keys = self.fmt.split(":")
         try:
             gt_at = fmt_keys.index("GT")
         except ValueError:
             return None
-        encs: list[tuple[int, ...]] = []
+
+        n = self.n_samples
+        if gt_at == 0 and n:
+            arr = np.frombuffer(self.samples_raw.encode("ascii", "replace"), dtype=np.uint8)
+            L = arr.size
+            if L == 4 * n - 1 and n and (arr[3::4] == 9).all():
+                d1 = arr[0::4]
+                sep = arr[1::4]
+                d2 = arr[2::4]
+                if (
+                    ((sep == 124) | (sep == 47)).all()
+                    and (((d1 >= 48) & (d1 <= 57)) | (d1 == 46)).all()
+                    and (((d2 >= 48) & (d2 <= 57)) | (d2 == 46)).all()
+                ):
+                    enc1 = np.where(d1 == 46, 0, (d1.astype(np.int64) - 47) << 1)
+                    enc2 = np.where(d2 == 46, 0, (d2.astype(np.int64) - 47) << 1) | (
+                        sep == 124
+                    )
+                    enc = np.stack([enc1, enc2], axis=1)
+                    return enc[np.asarray(selected)], 2
+            if L == 2 * n - 1 and n and (arr[1::2] == 9).all():
+                d = arr[0::2]
+                if (((d >= 48) & (d <= 57)) | (d == 46)).all():
+                    enc = np.where(d == 46, 0, (d.astype(np.int64) - 47) << 1)
+                    return enc[np.asarray(selected)][:, None], 1
+        out = self._genotypes_flat_slow(selected, gt_at)
+        if out is None:
+            return None
+        flat, ploidy = out
+        return np.asarray(flat, dtype=np.int64).reshape(len(selected), ploidy), ploidy
+
+    def genotypes_flat(self, selected) -> Optional[tuple[list[int], int]]:
+        """Back-compat flat list view of :meth:`genotypes_arrays`."""
+        out = self.genotypes_arrays(selected)
+        if out is None:
+            return None
+        enc, ploidy = out
+        return enc.reshape(-1).tolist(), ploidy
+
+    def _genotypes_flat_slow(self, selected, gt_at: int):
+        # htslib parses the WHOLE record before subsetting, so max ploidy
+        # spans all samples, not just the selected ones.  (slow path)
+        all_encs: list[tuple[int, ...]] = []
         max_ploidy = 0
-        for si in selected:
-            f = self.sample_fields[si]
+        for f in self.sample_fields:
             if gt_at == 0:
                 end = f.find(":")
                 gt = f if end < 0 else f[:end]
             else:
                 gt = f.split(":")[gt_at]
             enc = _encode_gt(gt)
-            encs.append(enc)
+            all_encs.append(enc)
             if len(enc) > max_ploidy:
                 max_ploidy = len(enc)
         flat: list[int] = []
-        for enc in encs:
+        for si in selected:
+            enc = all_encs[si]
             flat.extend(enc)
             flat.extend([VECTOR_END] * (max_ploidy - len(enc)))
         return flat, max_ploidy
@@ -174,7 +229,7 @@ class VcfReader:
             line = line.rstrip("\n")
             if not line:
                 continue
-            cols = line.split("\t")
+            cols = line.split("\t", 9)
             yield VcfRecord(
                 chrom=cols[0],
                 pos0=int(cols[1]) - 1,
@@ -185,7 +240,8 @@ class VcfReader:
                 filt=cols[6],
                 info=cols[7] if len(cols) > 7 else ".",
                 fmt=cols[8] if len(cols) > 8 else None,
-                sample_fields=cols[9:],
+                samples_raw=cols[9] if len(cols) > 9 else "",
+                n_samples=len(self.sample_names),
             )
         self._fh.close()
 

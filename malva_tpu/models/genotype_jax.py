@@ -83,15 +83,18 @@ def make_genotype_fn(max_alleles: int, haploid: bool, error_rate: float, max_cov
             logp.append(jnp.where(valid, prior + post, -jnp.inf))
         logp = jnp.stack(logp, axis=1)  # (B, n_pairs)
 
-        prob = jnp.exp(logp)
-        total_q = jnp.sum(prob, axis=1, keepdims=True)
-        qual = prob / jnp.maximum(total_q, 1e-38)
-        best = jnp.argmax(qual, axis=1)
+        # normalize in log space: raw probabilities underflow f32 fast
+        m = jnp.max(logp, axis=1, keepdims=True)
+        finite = jnp.isfinite(m[:, 0])
+        rel = jnp.exp(logp - jnp.where(jnp.isfinite(m), m, 0.0))
+        total_q = jnp.sum(rel, axis=1, keepdims=True)
+        qual = rel / jnp.maximum(total_q, 1e-30)
+        best = jnp.argmax(logp, axis=1)
         best_q = jnp.take_along_axis(qual, best[:, None], axis=1)[:, 0]
 
         # degenerate cases: no coverage / single allele / over-covered
         over = jnp.any(cov > max_cov, axis=1)
-        degenerate = over | (total == 0) | (n_all == 1) | (total_q[:, 0] == 0)
+        degenerate = over | (total == 0) | (n_all == 1) | ~finite
         best = jnp.where(degenerate, 0, best)
         gq = jnp.where(degenerate, 0, jnp.round(best_q * 100).astype(jnp.int32))
 

@@ -113,9 +113,10 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
     batcher_ref = _KmerBatcher()
     used_names: list[str] = []
 
+    ref_bytes_cache: dict[int, bytes] = {}
     n_vars = 0
     for vb, ref in _iter_blocks(cfg, refs, keep_absent=False, used_out=used_names):
-        ref_bytes = ref.tobytes() if ref is not None else b""
+        ref_bytes = ref_bytes_cache.setdefault(id(ref), ref.tobytes()) if ref is not None else b""
         kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
         n_vars += len(vb.variants)
         # add_kmers_to_bf (main.cpp:122-144)
@@ -257,12 +258,17 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
     apply_sample_counts(index, contexts, counts, cfg)
     timer.pelapsed("BF weights created")
 
+    _genotype_and_emit(cfg, index, refs, out, timer)
+
+
+def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:
     reader = VcfReader(cfg.vcf_path, cfg.samples)
     out.write(cleaned_header(reader.meta_lines, cfg.verbose))
 
+    ref_bytes_cache: dict[int, bytes] = {}
     n = 0
     for vb, ref in _iter_blocks(cfg, refs, keep_absent=True):
-        ref_bytes = ref.tobytes() if ref is not None else b""
+        ref_bytes = ref_bytes_cache.setdefault(id(ref), ref.tobytes()) if ref is not None else b""
         kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
         _set_coverages(index, vb, kmers)
         genotype_block(vb.variants, cfg.max_coverage, cfg.haploid, cfg.error_rate)
@@ -270,3 +276,33 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
             out.write(line + "\n")
         n += len(vb.variants)
     timer.pelapsed(f"VCF parsing and genotyping ({n} variants)")
+
+
+def _reset_counters(index: Index) -> None:
+    index.bf.counts[:] = 0
+    for k in index.ref_bf.kmers:
+        index.ref_bf.kmers[k] = 0
+
+
+def call_batch(
+    cfg: Config,
+    index: Index,
+    sample_paths: list[str],
+    outs: list,
+    timer: PhaseTimer | None = None,
+) -> None:
+    """Multi-sample batch genotyping: N read sets against ONE index
+    (BASELINE.json config 5).  The index (the expensive artifact) is
+    built/loaded once; per sample the counters are zeroed, the sample's
+    distinct k-mers are streamed through the query step, and a VCF is
+    emitted.  Counter state is per-sample by construction (zeroed), so
+    results are identical to N independent `call` runs."""
+    timer = timer or PhaseTimer()
+    refs = load_reference(cfg.fasta_path, cfg.strip_chr)
+    timer.pelapsed("Reference processed")
+    for sample_path, out in zip(sample_paths, outs):
+        _reset_counters(index)
+        contexts, counts = count_reads_kmers(sample_path, cfg.ref_k)
+        apply_sample_counts(index, contexts, counts, cfg)
+        _genotype_and_emit(cfg, index, refs, out, timer)
+        timer.pelapsed(f"Sample done: {sample_path}")

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import sys
 
+import numpy as np
+
 from .variant import Variant
 
 VK_GROUP = dict  # {int: {int: list[list[bytes]]}}
@@ -197,19 +199,29 @@ class VB:
         self._present_order) and self._present_pos (variant index ->
         position in profile tuples).
         """
-        present = [j for j, v in enumerate(self.variants) if v.is_present and v.genotypes]
+        present = [
+            j for j, v in enumerate(self.variants) if v.is_present and v.n_individuals
+        ]
         self._present_pos = {j: p for p, j in enumerate(present)}
         cols = [self.variants[j] for j in present]
         profiles: set[tuple] = set()
         if cols:
-            n_ind = len(cols[0].genotypes)
             if haploid:
-                for i in range(n_ind):
-                    profiles.add(tuple(v.genotypes[i][0] for v in cols))
+                mat = np.stack([v.gt_a1 for v in cols], axis=1)  # (n_ind, P)
+                for row in np.unique(mat, axis=0):
+                    profiles.add(tuple(row.tolist()))
             else:
-                for i in range(n_ind):
+                mat = np.stack(
+                    sum(([v.gt_a1, v.gt_a2, v.phase.astype(np.int32)] for v in cols), []),
+                    axis=1,
+                )  # (n_ind, 3P) columns grouped per variant
+                for row in np.unique(mat, axis=0):
+                    r = row.tolist()
                     profiles.add(
-                        tuple((v.genotypes[i][0], v.genotypes[i][1], v.phasing[i]) for v in cols)
+                        tuple(
+                            (r[3 * p], r[3 * p + 1], bool(r[3 * p + 2]))
+                            for p in range(len(cols))
+                        )
                     )
         self._profiles = profiles
 

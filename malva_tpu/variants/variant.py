@@ -25,7 +25,7 @@ def _bcf_gt_is_phased(enc: int) -> bool:
 class Variant:
     __slots__ = (
         "seq_name", "ref_pos", "idx", "ref_sub", "alts", "quality", "filt",
-        "info", "genotypes", "phasing", "ref_size", "min_size", "max_size",
+        "info", "gt_a1", "gt_a2", "phase", "ref_size", "min_size", "max_size",
         "has_alts", "is_present", "frequencies", "coverages", "computed_gts",
     )
 
@@ -43,8 +43,9 @@ class Variant:
         self.quality: np.float32 = rec.qual()
         self.filt: str = "PASS"  # reference hardcodes PASS (variant.hpp:91)
         self.info: str = "."
-        self.genotypes: list[tuple[int, int]] = []
-        self.phasing: list[bool] = []
+        self.gt_a1 = np.zeros(0, dtype=np.int32)
+        self.gt_a2 = np.zeros(0, dtype=np.int32)
+        self.phase = np.zeros(0, dtype=bool)
         self.frequencies: list[np.float32] = []
         self.computed_gts: list[tuple[str, float]] = []
         self.min_size = self.max_size = 0
@@ -90,33 +91,39 @@ class Variant:
 
     # -- genotypes (variant.hpp:158-211) ----------------------------------
     def _extract_genotypes(self, rec: VcfRecord, selected: list[int]):
-        out = rec.genotypes_flat(selected)
+        out = rec.genotypes_arrays(selected)
         if out is None:
             self.has_alts = False
             return
-        flat, ploidy = out
-        n = len(selected)
-        for i in range(n):
-            base = i * ploidy
-            first = flat[base]
-            # slot base+1 may belong to the next sample when ploidy == 1
-            # (the reference reads it anyway; for the final sample that read
-            # is out of bounds upstream — we define it as VECTOR_END).
-            second = flat[base + 1] if base + 1 < len(flat) else VECTOR_END
-            if second == VECTOR_END:
-                a1 = _bcf_gt_allele(first)
-                a2 = a1
-                phased = True
-            else:
-                a1 = _bcf_gt_allele(first)
-                a2 = _bcf_gt_allele(second)
-                phased = _bcf_gt_is_phased(second)
-            if a1 < 0:
-                a1 = 0
-            if a2 < 0:
-                a2 = 0
-            self.genotypes.append((a1, a2))
-            self.phasing.append(phased)
+        enc, ploidy = out  # (n, ploidy) int64, htslib encoding
+        first = enc[:, 0]
+        if ploidy >= 2:
+            second = enc[:, 1]
+        else:
+            # the reference reads slot base+1 anyway, which for ploidy 1 is
+            # the NEXT sample's first entry; the final sample's read is out
+            # of bounds upstream — defined here as VECTOR_END (copy).
+            second = np.concatenate([first[1:], [VECTOR_END]])
+        is_end = second == VECTOR_END
+        a1 = np.maximum((first >> 1) - 1, 0)
+        a2 = np.where(is_end, a1, np.maximum((second >> 1) - 1, 0))
+        phased = np.where(is_end, True, (second & 1).astype(bool))
+        self.gt_a1 = a1.astype(np.int32)
+        self.gt_a2 = a2.astype(np.int32)
+        self.phase = phased
+
+    @property
+    def genotypes(self) -> list[tuple[int, int]]:
+        """Per-individual (allele1, allele2) pairs (compat view)."""
+        return list(zip(self.gt_a1.tolist(), self.gt_a2.tolist()))
+
+    @property
+    def phasing(self) -> list[bool]:
+        return self.phase.tolist()
+
+    @property
+    def n_individuals(self) -> int:
+        return int(self.gt_a1.shape[0])
 
     # -- accessors (variant.hpp:216-252) ----------------------------------
     def get_allele(self, i: int) -> bytes:

@@ -75,6 +75,11 @@ def gen_variants(rng, ref, n_var, n_samples, haploid=False, dense_frac=0.4):
             if haploid:
                 gts.append(str(allele()))
             else:
+                if rng.random() < 0.05:
+                    # mixed ploidy: haploid GT inside a diploid cohort
+                    # (htslib pads with vector_end; second allele copies)
+                    gts.append(str(allele()))
+                    continue
                 sep = "|" if rng.random() < 0.5 else "/"
                 a, b = allele(), allele()
                 if rng.random() < 0.05:

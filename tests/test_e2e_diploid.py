@@ -1,0 +1,53 @@
+"""Committed diploid regression gate.
+
+The fixture in tests/data/diploid was generated with tests/fuzz_gen.py
+(seed 20260817: 90 diploid records over a 6 kb contig, 8 samples, het /
+hom-alt / multi-allelic calls with a spread of GQ values); golden.vcf is
+the output of the reference genotyper compiled as the test oracle.  This
+covers the diploid ground that the reference repo's missing chr20
+example data would have covered, without requiring a compiler.
+"""
+
+import io
+import os
+
+import pytest
+
+from malva_tpu.pipeline import build_index, call
+from malva_tpu.utils.config import Config
+
+D = os.path.join(os.path.dirname(__file__), "data", "diploid")
+
+
+@pytest.mark.slow
+def test_diploid_golden_bit_identical():
+    cfg = Config(
+        fasta_path=os.path.join(D, "ref.fa"),
+        vcf_path=os.path.join(D, "vars.vcf"),
+        sample_path=os.path.join(D, "reads.fa"),
+        bf_size=Config.bf_gb_to_bits(1),
+    )
+    index = build_index(cfg)
+    out = io.StringIO()
+    call(cfg, index, out)
+    golden = open(os.path.join(D, "golden.vcf")).read()
+    assert out.getvalue() == golden
+
+
+@pytest.mark.slow
+def test_batch_matches_independent_calls(tmp_path):
+    """call_batch over [sampleA, sampleA] == two independent calls."""
+    from malva_tpu.pipeline import call_batch
+
+    cfg = Config(
+        fasta_path=os.path.join(D, "ref.fa"),
+        vcf_path=os.path.join(D, "vars.vcf"),
+        sample_path=os.path.join(D, "reads.fa"),
+        bf_size=Config.bf_gb_to_bits(1),
+    )
+    index = build_index(cfg)
+    o1, o2 = io.StringIO(), io.StringIO()
+    call_batch(cfg, index, [os.path.join(D, "reads.fa")] * 2, [o1, o2])
+    golden = open(os.path.join(D, "golden.vcf")).read()
+    assert o1.getvalue() == golden
+    assert o2.getvalue() == golden

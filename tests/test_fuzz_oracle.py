@@ -32,9 +32,11 @@ def oracle_bin():
     return ORACLE
 
 
-def run_oracle(oracle_bin, fa, vcf, reads, haploid, tmp):
+def run_oracle(oracle_bin, fa, vcf, reads, haploid, tmp, samples=None):
     env = dict(os.environ, MALVA_ORACLE_REFK="43")
     args = ["-k", "35", "-r", "43", "-b", "1", "-f", "AF"]
+    if samples:
+        args += ["-s", samples]
     if haploid:
         args = ["-1"] + args
     idx = f"{vcf}.c43.k35.malvax.zst"
@@ -51,10 +53,10 @@ def run_oracle(oracle_bin, fa, vcf, reads, haploid, tmp):
     return out
 
 
-def run_pipeline(fa, vcf, reads, haploid):
+def run_pipeline(fa, vcf, reads, haploid, samples="-"):
     cfg = Config(
         fasta_path=fa, vcf_path=vcf, sample_path=reads,
-        bf_size=Config.bf_gb_to_bits(1), haploid=haploid,
+        bf_size=Config.bf_gb_to_bits(1), haploid=haploid, samples=samples,
     )
     index = build_index(cfg)
     buf = io.StringIO()
@@ -79,3 +81,17 @@ def test_fuzz_matches_oracle(oracle_bin, tmp_path, seed, haploid):
         pytest.fail(
             f"output mismatch ({len(diffs)}+ lines differ of {len(wl)}):\n" + "\n".join(diffs)
         )
+
+
+@pytest.mark.slow
+def test_fuzz_sample_subset_matches_oracle(oracle_bin, tmp_path):
+    """-s subsetting + mixed-ploidy records (max ploidy spans ALL samples
+    in htslib, not just selected ones)."""
+    d = str(tmp_path)
+    fa, vcf, reads = gen_case(d, 7, n_samples=6, haploid=False)
+    sf = f"{d}/samples.txt"
+    with open(sf, "w") as f:
+        f.write("S4\nS1\nS2\n")
+    want = run_oracle(oracle_bin, fa, vcf, reads, False, d, samples=sf)
+    got = run_pipeline(fa, vcf, reads, False, samples=sf)
+    assert got == want
