@@ -36,6 +36,10 @@ def _parser(prog: str) -> argparse.ArgumentParser:
         sp.add_argument("-u", "--uniform", action="store_true")
         sp.add_argument("-v", "--verbose", action="store_true")
         sp.add_argument("-1", "--haploid", action="store_true", dest="haploid")
+        sp.add_argument("--from-kmc-dump", action="store_true",
+                        help="treat <sample> as kmc_dump text (KMER<TAB>COUNT)")
+        sp.add_argument("--malvax", action="store_true",
+                        help="read/write the reference .malvax.zst index format")
         sp.add_argument("reference")
         sp.add_argument("variants")
         if name == "batch":
@@ -60,6 +64,7 @@ def _config(args: argparse.Namespace) -> Config:
         max_coverage=args.max_coverage,
         bf_size=Config.bf_gb_to_bits(args.bf_size),
         strip_chr=args.strip_chr,
+        from_kmc_dump=args.from_kmc_dump,
         uniform=args.uniform,
         verbose=args.verbose,
         haploid=args.haploid,
@@ -73,16 +78,30 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "index":
         index = build_index(cfg, timer)
-        save_index(index, cfg.index_path())
+        if args.malvax:
+            from .io.malvax import write_malvax
+
+            path = cfg.index_path().replace(".malvax.npz", ".malvax.zst")
+            write_malvax(index, path)
+        else:
+            save_index(index, cfg.index_path())
         timer.pelapsed("Index saved")
         return 0
 
     if args.cmd == "call":
-        path = cfg.index_path()
-        if not os.path.exists(path):
-            print(f"ERROR: index file {path} not found (run `index` first)", file=sys.stderr)
-            return 1
-        index = load_index(path)
+        if args.malvax:
+            from .io.malvax import read_malvax
+            from .pipeline import Index
+
+            path = cfg.index_path().replace(".malvax.npz", ".malvax.zst")
+            bf, km, ctx = read_malvax(path)
+            index = Index(bf=bf, ref_bf=km, context_bf=ctx)
+        else:
+            path = cfg.index_path()
+            if not os.path.exists(path):
+                print(f"ERROR: index file {path} not found (run `index` first)", file=sys.stderr)
+                return 1
+            index = load_index(path)
         timer.pelapsed("Index loaded")
         call(cfg, index, sys.stdout, timer)
         return 0

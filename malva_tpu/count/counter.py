@@ -19,6 +19,7 @@ stays bounded for arbitrarily large read sets.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Iterable
 
@@ -73,6 +74,33 @@ def _merge_runs(
     return keys[starts], summed
 
 
+def load_kmc_dump(path: str, ref_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Read a `kmc_dump` text file (``KMER<TAB>COUNT`` per line) — the
+    reference consumes the same data through the KMC API (main.cpp:488).
+    Lets a user cross-validate against a real KMC database or reuse one.
+    """
+    import gzip
+
+    op = gzip.open if path.endswith(".gz") else open
+    kmers: list[bytes] = []
+    counts: list[int] = []
+    with op(path, "rb") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            if len(parts[0]) != ref_k:
+                raise ValueError(
+                    f"kmc dump k-mer length {len(parts[0])} != ref_k {ref_k}"
+                )
+            kmers.append(parts[0].upper())
+            counts.append(int(parts[1]))
+    if not kmers:
+        return np.zeros((0, ref_k), np.uint8), np.zeros(0, np.uint32)
+    arr = np.frombuffer(b"".join(kmers), dtype=np.uint8).reshape(-1, ref_k)
+    return arr, np.asarray(counts, dtype=np.uint32)
+
+
 def count_reads_kmers(
     reads_path: str,
     ref_k: int,
@@ -80,18 +108,41 @@ def count_reads_kmers(
     cs: int = 255,
     chunk_kmers: int = 1 << 24,
     log=sys.stderr,
+    checkpoint: str | None = None,
+    checkpoint_every_batches: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Count canonical ref_k-mers of a FASTA/FASTQ file.
 
     Returns (contexts, counts): contexts is (M, ref_k) uint8 ASCII of the
     distinct canonical k-mers with ci <= count, counts is (M,) uint32
     saturated at cs.
+
+    With ``checkpoint`` set, the distinct-count store plus the read-batch
+    cursor are persisted every ``checkpoint_every_batches`` read batches,
+    and an interrupted run resumes from the last checkpoint (elastic
+    recovery for long read streams; the batch segmentation is
+    deterministic, so resumed counts equal a clean run's).
     """
     acc_keys = np.zeros((0, (ref_k + 31) // 32), dtype=np.uint64)
     acc_cnts = np.zeros(0, dtype=np.int64)
     pending: list[np.ndarray] = []
     pending_n = 0
     total_windows = 0
+    start_batch = 0
+
+    if checkpoint is not None and os.path.exists(checkpoint):
+        st = np.load(checkpoint)
+        if int(st["ref_k"]) == ref_k and str(st["reads_path"]) == reads_path:
+            acc_keys = st["keys"]
+            acc_cnts = st["cnts"]
+            start_batch = int(st["batch"])
+            total_windows = int(st["windows"])
+            print(
+                f"[malva-tpu/count] resuming from checkpoint at batch {start_batch}",
+                file=log,
+            )
+        else:
+            print("[malva-tpu/count] checkpoint mismatch, ignoring", file=log)
 
     def flush():
         nonlocal acc_keys, acc_cnts, pending, pending_n
@@ -104,7 +155,21 @@ def count_reads_kmers(
         keys, cnts = _sorted_counts(packed)
         acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
 
-    for batch in iter_read_batches(reads_path):
+    def save_checkpoint(batch_i: int) -> None:
+        if checkpoint is None:
+            return
+        flush()
+        tmp = checkpoint + ".tmp"
+        np.savez(
+            tmp if tmp.endswith(".npz") else tmp,
+            keys=acc_keys, cnts=acc_cnts, batch=batch_i, windows=total_windows,
+            ref_k=ref_k, reads_path=reads_path,
+        )
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", checkpoint)
+
+    for batch_i, batch in enumerate(iter_read_batches(reads_path)):
+        if batch_i < start_batch:
+            continue
         for seq in batch:
             w = _windows_of_read(seq, ref_k)
             if w.shape[0]:
@@ -113,7 +178,11 @@ def count_reads_kmers(
                 total_windows += w.shape[0]
             if pending_n >= chunk_kmers:
                 flush()
+        if checkpoint is not None and (batch_i + 1) % checkpoint_every_batches == 0:
+            save_checkpoint(batch_i + 1)
     flush()
+    if checkpoint is not None and os.path.exists(checkpoint):
+        os.remove(checkpoint)
 
     keep = acc_cnts >= ci
     keys = acc_keys[keep]

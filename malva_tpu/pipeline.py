@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .count.counter import count_reads_kmers
+from .count.counter import count_reads_kmers, load_kmc_dump
 from .index.bloom_filter import BF
 from .index.kmap import KMAP
 from .io.fasta import load_reference
@@ -60,6 +60,7 @@ def _iter_blocks(
     refs: dict[str, np.ndarray],
     keep_absent: bool,
     used_out: list[str] | None = None,
+    timer: PhaseTimer | None = None,
 ):
     """Yield (vb, reference_array_or_None) per flushed variant block.
 
@@ -74,10 +75,15 @@ def _iter_blocks(
     reader = VcfReader(cfg.vcf_path, cfg.samples)
     vb = VB(cfg.k, float(cfg.error_rate))
     last_seq_name = None
+    i = 0
     for rec in reader:
         if cfg.strip_chr and rec.chrom.startswith("chr"):
             rec.chrom = rec.chrom[3:]
         v = Variant(rec, reader.selected, cfg.freq_key, cfg.uniform)
+        i += 1
+        if timer is not None and i % 5000 == 0:
+            # progress heartbeat with rollback (main.cpp:317-321)
+            timer.pelapsed(f"Processed {i} variants", rollback=True)
         if last_seq_name is None:
             last_seq_name = v.seq_name
             if used_out is not None:
@@ -115,7 +121,7 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
 
     ref_bytes_cache: dict[int, bytes] = {}
     n_vars = 0
-    for vb, ref in _iter_blocks(cfg, refs, keep_absent=False, used_out=used_names):
+    for vb, ref in _iter_blocks(cfg, refs, keep_absent=False, used_out=used_names, timer=timer):
         ref_bytes = ref_bytes_cache.setdefault(id(ref), ref.tobytes()) if ref is not None else b""
         kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
         n_vars += len(vb.variants)
@@ -139,6 +145,12 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
     timer.pelapsed(f"Processed variants ({n_vars} in blocks)")
 
     bf.switch_mode()
+    fill = len(bf.counts) / max(bf.size, 1)
+    print(
+        f"[malva-tpu/metrics] alt-BF set bits {len(bf.counts)} "
+        f"(fill {fill:.2e}, est FP rate {fill:.2e}); exact map keys {len(ref_bf)}",
+        file=sys.stderr,
+    )
     timer.pelapsed("BF creation complete")
 
     # Reference context scan (main.cpp:382-401): for every ref_k-window of
@@ -170,6 +182,10 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
     timer.pelapsed("Reference BF creation complete")
 
     context_bf.switch_mode()
+    print(
+        f"[malva-tpu/metrics] context-BF set bits {len(context_bf.counts)}",
+        file=sys.stderr,
+    )
     return Index(bf=bf, ref_bf=ref_bf, context_bf=context_bf)
 
 
@@ -253,12 +269,18 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
     refs = load_reference(cfg.fasta_path, cfg.strip_chr)
     timer.pelapsed("Reference processed")
 
-    contexts, counts = count_reads_kmers(cfg.sample_path, cfg.ref_k)
+    contexts, counts = _sample_kmers(cfg, cfg.sample_path)
     timer.pelapsed("Sample k-mer counting")
     apply_sample_counts(index, contexts, counts, cfg)
     timer.pelapsed("BF weights created")
 
     _genotype_and_emit(cfg, index, refs, out, timer)
+
+
+def _sample_kmers(cfg: Config, path: str):
+    if cfg.from_kmc_dump:
+        return load_kmc_dump(path, cfg.ref_k)
+    return count_reads_kmers(path, cfg.ref_k)
 
 
 def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:
@@ -302,7 +324,7 @@ def call_batch(
     timer.pelapsed("Reference processed")
     for sample_path, out in zip(sample_paths, outs):
         _reset_counters(index)
-        contexts, counts = count_reads_kmers(sample_path, cfg.ref_k)
+        contexts, counts = _sample_kmers(cfg, sample_path)
         apply_sample_counts(index, contexts, counts, cfg)
         _genotype_and_emit(cfg, index, refs, out, timer)
         timer.pelapsed(f"Sample done: {sample_path}")

@@ -23,6 +23,7 @@ class Config:
     max_coverage: int = 200
     bf_size: int = 1 << 35  # bits; -b N gives N * 2^33 (argument_parser.hpp:120-123)
     strip_chr: bool = False
+    from_kmc_dump: bool = False  # sample path is a kmc_dump text file
     uniform: bool = False
     verbose: bool = False
     haploid: bool = False

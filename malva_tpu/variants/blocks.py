@@ -64,6 +64,28 @@ def _get_allele(v: Variant, i: int) -> bytes:
     return v.get_allele(i)
 
 
+def _dedup_rows(mat: np.ndarray) -> np.ndarray:
+    """Unique rows (any order) without np.unique's void-dtype sort —
+    sorting 56 KB rows of a 30k-sample cohort block is pathologically
+    slow; hashing row bytes is linear.  uint8 cast when values fit."""
+    if mat.shape[0] <= 1:
+        return mat
+    if int(mat.max(initial=0)) < 256 and int(mat.min(initial=0)) >= 0:
+        mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    else:
+        mat = np.ascontiguousarray(mat)
+    L = mat.shape[1] * mat.itemsize
+    data = mat.tobytes()
+    seen = set()
+    keep = []
+    for i in range(mat.shape[0]):
+        b = data[i * L : (i + 1) * L]
+        if b not in seen:
+            seen.add(b)
+            keep.append(i)
+    return mat[keep]
+
+
 class VB:
     """A block of nearby variants (var_block.hpp:61)."""
 
@@ -204,26 +226,42 @@ class VB:
         ]
         self._present_pos = {j: p for p, j in enumerate(present)}
         cols = [self.variants[j] for j in present]
-        profiles: set[tuple] = set()
         if cols:
             if haploid:
                 mat = np.stack([v.gt_a1 for v in cols], axis=1)  # (n_ind, P)
-                for row in np.unique(mat, axis=0):
-                    profiles.add(tuple(row.tolist()))
             else:
                 mat = np.stack(
                     sum(([v.gt_a1, v.gt_a2, v.phase.astype(np.int32)] for v in cols), []),
                     axis=1,
                 )  # (n_ind, 3P) columns grouped per variant
-                for row in np.unique(mat, axis=0):
-                    r = row.tolist()
-                    profiles.add(
-                        tuple(
-                            (r[3 * p], r[3 * p + 1], bool(r[3 * p + 2]))
-                            for p in range(len(cols))
-                        )
-                    )
-        self._profiles = profiles
+            self._profiles_mat = _dedup_rows(mat)
+        else:
+            self._profiles_mat = np.zeros((0, 0), dtype=np.int32)
+
+    @staticmethod
+    def _unique_rows_of(sub: np.ndarray):
+        """Unique rows of a small-int matrix as Python int lists.
+
+        Bytes-set dedup over uint8-cast rows: ~50x faster than
+        np.unique(axis=0)'s void-dtype sort for the (U, L) projections
+        this code makes per combination.  Falls back to np.unique when
+        values exceed uint8 (VCFs with >255 ALTs).
+        """
+        if sub.shape[0] == 0:
+            return
+        if sub.size and int(sub.max(initial=0)) < 256 and int(sub.min(initial=0)) >= 0:
+            u8 = np.ascontiguousarray(sub, dtype=np.uint8)
+            L = u8.shape[1]
+            data = u8.tobytes()
+            seen = set()
+            for i in range(u8.shape[0]):
+                b = data[i * L : (i + 1) * L]
+                if b not in seen:
+                    seen.add(b)
+                    yield list(b)
+        else:
+            for row in np.unique(sub, axis=0):
+                yield row.tolist()
 
     def _build_alleles_combs(
         self, comb: list[int], central_index: int, haploid: bool
@@ -236,25 +274,18 @@ class VB:
         pos = self._present_pos
         comb_pos = [pos[j] for j in comb]
         if haploid:
-            seen: set[tuple] = set()
-            for prof in self._profiles:
-                sub = tuple(prof[p] for p in comb_pos)
-                if sub in seen:
-                    continue
-                seen.add(sub)
+            for row in self._unique_rows_of(self._profiles_mat[:, comb_pos]):
                 aacs.add(
-                    tuple(_get_allele(variants[j], a) for j, a in zip(comb, sub))
+                    tuple(_get_allele(variants[j], a) for j, a in zip(comb, row))
                 )
         else:
-            seen = set()
-            for prof in self._profiles:
-                sub = tuple(prof[p] for p in comb_pos)
-                if sub in seen:
-                    continue
-                seen.add(sub)
-                phased = all(t[2] for t in sub)
-                hap1 = [_get_allele(variants[j], t[0]) for j, t in zip(comb, sub)]
-                hap2 = [_get_allele(variants[j], t[1]) for j, t in zip(comb, sub)]
+            cols = []
+            for p in comb_pos:
+                cols.extend((3 * p, 3 * p + 1, 3 * p + 2))
+            for r in self._unique_rows_of(self._profiles_mat[:, cols]):
+                phased = all(r[3 * i + 2] for i in range(len(comb)))
+                hap1 = [_get_allele(variants[j], r[3 * i]) for i, j in enumerate(comb)]
+                hap2 = [_get_allele(variants[j], r[3 * i + 1]) for i, j in enumerate(comb)]
                 if phased:
                     aacs.add(tuple(hap1))
                     aacs.add(tuple(hap2))

@@ -75,16 +75,24 @@ class int_vector {
   uint16_t operator[](uint64_t i) const { return v_[i]; }
   uint16_t& operator[](uint64_t i) { return v_[i]; }
   uint64_t size() const { return v_.size(); }
+  // sdsl-faithful layout: size in BITS (uint64), then data padded to
+  // 64-bit words (fixed-width vectors carry no width byte).
   void serialize(std::ostream& s) const {
-    uint64_t n = v_.size();
-    s.write(reinterpret_cast<const char*>(&n), sizeof n);
-    s.write(reinterpret_cast<const char*>(v_.data()), n * 2);
+    uint64_t bits = v_.size() * t_w;
+    s.write(reinterpret_cast<const char*>(&bits), sizeof bits);
+    uint64_t nwords = (bits + 63) / 64;
+    std::vector<uint64_t> buf(nwords, 0);
+    memcpy(buf.data(), v_.data(), v_.size() * 2);
+    s.write(reinterpret_cast<const char*>(buf.data()), nwords * 8);
   }
   void load(std::istream& s) {
-    uint64_t n = 0;
-    s.read(reinterpret_cast<char*>(&n), sizeof n);
-    v_.assign(n, 0);
-    s.read(reinterpret_cast<char*>(v_.data()), n * 2);
+    uint64_t bits = 0;
+    s.read(reinterpret_cast<char*>(&bits), sizeof bits);
+    uint64_t nwords = (bits + 63) / 64;
+    std::vector<uint64_t> buf(nwords, 0);
+    s.read(reinterpret_cast<char*>(buf.data()), nwords * 8);
+    v_.assign(bits / t_w, 0);
+    memcpy(v_.data(), buf.data(), v_.size() * 2);
   }
 
  private:

@@ -69,3 +69,57 @@ def test_counter_ci_excludes_singletons(tmp_path):
     assert len(counts) == 0
     contexts, counts = count_reads_kmers(str(fq), 7, ci=1)
     assert len(counts) == 2
+
+
+def test_counter_checkpoint_resume(tmp_path):
+    """A run resumed from a mid-stream checkpoint equals a clean run."""
+    rng = np.random.default_rng(8)
+    fq = tmp_path / "reads.fa"
+    with open(fq, "wb") as f:
+        for i in range(40):
+            seq = bytes(rng.choice(list(b"ACGT"), size=400))
+            f.write(b">r%d\n%s\n" % (i, seq))
+
+    clean_k, clean_c = count_reads_kmers(str(fq), 11, ci=1)
+
+    ckpt = str(tmp_path / "count.ckpt.npz")
+    # force many small batches + frequent checkpoints, interrupt midway
+    import malva_tpu.count.counter as counter_mod
+
+    calls = {"n": 0}
+    orig = counter_mod.iter_read_batches
+
+    def tiny_batches(path, batch_bases=1 << 26):
+        for b in orig(path, batch_bases=512):
+            yield b
+
+    counter_mod.iter_read_batches = tiny_batches
+    try:
+        class Boom(Exception):
+            pass
+
+        orig_flush_windows = counter_mod._windows_of_read
+
+        def exploding(seq, k, _st={"i": 0}):
+            _st["i"] += 1
+            if _st["i"] == 25:
+                raise Boom()
+            return orig_flush_windows(seq, k)
+
+        counter_mod._windows_of_read = exploding
+        try:
+            count_reads_kmers(str(fq), 11, ci=1, checkpoint=ckpt, checkpoint_every_batches=2)
+            assert False, "expected interruption"
+        except Boom:
+            pass
+        finally:
+            counter_mod._windows_of_read = orig_flush_windows
+        import os
+        assert os.path.exists(ckpt)
+        res_k, res_c = count_reads_kmers(str(fq), 11, ci=1, checkpoint=ckpt, checkpoint_every_batches=2)
+        assert not os.path.exists(ckpt)
+    finally:
+        counter_mod.iter_read_batches = orig
+
+    np.testing.assert_array_equal(res_k, clean_k)
+    np.testing.assert_array_equal(res_c, clean_c)

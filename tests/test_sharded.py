@@ -56,3 +56,24 @@ def test_sharded_call_parity(n_dev):
 
     np.testing.assert_array_equal(host_idx.bf.counts, np.asarray(shard_idx.bf.counts))
     assert host_idx.ref_bf.kmers == shard_idx.ref_bf.kmers
+
+
+def test_count_distributed_single_host_matches_plain(tmp_path):
+    import numpy as np
+
+    from malva_tpu.count.counter import count_reads_kmers
+    from malva_tpu.parallel.distributed import count_distributed
+    from malva_tpu.utils.config import Config
+
+    rng = np.random.default_rng(12)
+    base = bytes(rng.choice(list(b"ACGT"), size=500))
+    fq = tmp_path / "r.fa"
+    with open(fq, "wb") as f:
+        for i in range(30):
+            s = int(rng.integers(0, 400))
+            f.write(b">r%d\n%s\n" % (i, base[s : s + 80]))
+    cfg = Config(ref_k=13)
+    plain_k, plain_c = count_reads_kmers(str(fq), 13)
+    dist_k, dist_c = count_distributed([str(fq)], cfg)
+    np.testing.assert_array_equal(dist_k, plain_k)
+    np.testing.assert_array_equal(dist_c, plain_c)
