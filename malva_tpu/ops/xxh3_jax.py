@@ -136,22 +136,21 @@ def _mul128_fold(jnp, a, b):
     return _xor(hi, lo)
 
 
-def _rd64(jnp, a, off: int):
-    """(hi, lo) little-endian u64 read at byte offset off of (N, L) uint8."""
-    b = a.astype(jnp.uint32)
-    lo = b[:, off] | (b[:, off + 1] << 8) | (b[:, off + 2] << 16) | (b[:, off + 3] << 24)
-    hi = b[:, off + 4] | (b[:, off + 5] << 8) | (b[:, off + 6] << 16) | (b[:, off + 7] << 24)
+def _rd64(jnp, g, off: int):
+    """(hi, lo) little-endian u64 read at byte offset off; g(j) yields the
+    j-th byte column as uint32 (matrix column or any broadcastable array)."""
+    lo = g(off) | (g(off + 1) << 8) | (g(off + 2) << 16) | (g(off + 3) << 24)
+    hi = g(off + 4) | (g(off + 5) << 8) | (g(off + 6) << 16) | (g(off + 7) << 24)
     return hi, lo
 
 
-def _rd32(jnp, a, off: int):
-    b = a.astype(jnp.uint32)
-    return b[:, off] | (b[:, off + 1] << 8) | (b[:, off + 2] << 16) | (b[:, off + 3] << 24)
+def _rd32(jnp, g, off: int):
+    return g(off) | (g(off + 1) << 8) | (g(off + 2) << 16) | (g(off + 3) << 24)
 
 
-def _bcast(jnp, const_pair, n):
-    hi = jnp.full((n,), const_pair[0], dtype=jnp.uint32)
-    lo = jnp.full((n,), const_pair[1], dtype=jnp.uint32)
+def _bcast(jnp, const_pair, like):
+    hi = jnp.full_like(like, const_pair[0])
+    lo = jnp.full_like(like, const_pair[1])
     return hi, lo
 
 
@@ -186,50 +185,48 @@ def _c_len(jnp, length: int, like):
     return (jnp.zeros_like(like[0]), jnp.full_like(like[1], np.uint32(length)))
 
 
-def _mix16(jnp, a, in_off: int, sec_off: int):
-    lo = _xor(_rd64(jnp, a, in_off), _c(jnp, int(_sec64(sec_off))))
-    hi = _xor(_rd64(jnp, a, in_off + 8), _c(jnp, int(_sec64(sec_off + 8))))
+def _mix16(jnp, g, in_off: int, sec_off: int):
+    lo = _xor(_rd64(jnp, g, in_off), _c(jnp, int(_sec64(sec_off))))
+    hi = _xor(_rd64(jnp, g, in_off + 8), _c(jnp, int(_sec64(sec_off + 8))))
     return _mul128_fold(jnp, lo, hi)
 
 
 # -- length paths ----------------------------------------------------------
 
 
-def _len17to128(jnp, a, length: int):
-    n = a.shape[0]
-    acc = _bcast(jnp, _const((length * int(PRIME64_1)) & 0xFFFFFFFFFFFFFFFF), n)
+def _len17to128(jnp, g, length: int):
+    acc = _bcast(jnp, _const((length * int(PRIME64_1)) & 0xFFFFFFFFFFFFFFFF), g(0))
     if length > 96:
-        acc = _add(jnp, acc, _mix16(jnp, a, 48, 96))
-        acc = _add(jnp, acc, _mix16(jnp, a, length - 64, 112))
+        acc = _add(jnp, acc, _mix16(jnp, g, 48, 96))
+        acc = _add(jnp, acc, _mix16(jnp, g, length - 64, 112))
     if length > 64:
-        acc = _add(jnp, acc, _mix16(jnp, a, 32, 64))
-        acc = _add(jnp, acc, _mix16(jnp, a, length - 48, 80))
+        acc = _add(jnp, acc, _mix16(jnp, g, 32, 64))
+        acc = _add(jnp, acc, _mix16(jnp, g, length - 48, 80))
     if length > 32:
-        acc = _add(jnp, acc, _mix16(jnp, a, 16, 32))
-        acc = _add(jnp, acc, _mix16(jnp, a, length - 32, 48))
-    acc = _add(jnp, acc, _mix16(jnp, a, 0, 0))
-    acc = _add(jnp, acc, _mix16(jnp, a, length - 16, 16))
+        acc = _add(jnp, acc, _mix16(jnp, g, 16, 32))
+        acc = _add(jnp, acc, _mix16(jnp, g, length - 32, 48))
+    acc = _add(jnp, acc, _mix16(jnp, g, 0, 0))
+    acc = _add(jnp, acc, _mix16(jnp, g, length - 16, 16))
     return _avalanche3(jnp, acc)
 
 
-def _len129to240(jnp, a, length: int):
-    n = a.shape[0]
-    acc = _bcast(jnp, _const((length * int(PRIME64_1)) & 0xFFFFFFFFFFFFFFFF), n)
+def _len129to240(jnp, g, length: int):
+    acc = _bcast(jnp, _const((length * int(PRIME64_1)) & 0xFFFFFFFFFFFFFFFF), g(0))
     nb = length // 16
     for i in range(8):
-        acc = _add(jnp, acc, _mix16(jnp, a, 16 * i, 16 * i))
+        acc = _add(jnp, acc, _mix16(jnp, g, 16 * i, 16 * i))
     acc = _avalanche3(jnp, acc)
     for i in range(8, nb):
-        acc = _add(jnp, acc, _mix16(jnp, a, 16 * i, 16 * (i - 8) + 3))
-    acc = _add(jnp, acc, _mix16(jnp, a, length - 16, 136 - 17))
+        acc = _add(jnp, acc, _mix16(jnp, g, 16 * i, 16 * (i - 8) + 3))
+    acc = _add(jnp, acc, _mix16(jnp, g, length - 16, 136 - 17))
     return _avalanche3(jnp, acc)
 
 
-def _len9to16(jnp, a, length: int):
+def _len9to16(jnp, g, length: int):
     bf1 = int(_sec64(24) ^ _sec64(32))
     bf2 = int(_sec64(40) ^ _sec64(48))
-    lo = _xor(_rd64(jnp, a, 0), _c(jnp, bf1))
-    hi = _xor(_rd64(jnp, a, length - 8), _c(jnp, bf2))
+    lo = _xor(_rd64(jnp, g, 0), _c(jnp, bf1))
+    hi = _xor(_rd64(jnp, g, length - 8), _c(jnp, bf2))
     swapped = _swap64(jnp, lo)
     acc = _add(jnp, _c_len(jnp, length, lo), swapped)
     acc = _add(jnp, acc, hi)
@@ -250,24 +247,37 @@ def _swap32w(jnp, x):
     )
 
 
-def _len4to8(jnp, a, length: int):
-    in1 = _rd32(jnp, a, 0)
-    in2 = _rd32(jnp, a, length - 4)
+def _len4to8(jnp, g, length: int):
+    in1 = _rd32(jnp, g, 0)
+    in2 = _rd32(jnp, g, length - 4)
     bf = int(_sec64(8) ^ _sec64(16))
     in64 = (in1, in2)  # input2 + (input1 << 32)
     keyed = _xor(in64, _c(jnp, bf))
     return _rrmxmx(jnp, keyed, length)
 
 
-def _len1to3(jnp, a, length: int):
-    b = a.astype(jnp.uint32)
-    c1 = b[:, 0]
-    c2 = b[:, length >> 1]
-    c3 = b[:, length - 1]
+def _len1to3(jnp, g, length: int):
+    c1 = g(0)
+    c2 = g(length >> 1)
+    c3 = g(length - 1)
     combined = (c1 << 16) | (c2 << 24) | c3 | jnp.uint32(length << 8)
     bitflip = np.uint32(int(_sec32(0)) ^ int(_sec32(4)))
     keyed = (jnp.zeros_like(combined), combined ^ bitflip)
     return _avalanche64(jnp, keyed)
+
+
+def _dispatch(jnp, g, length: int):
+    if length <= 3:
+        return _len1to3(jnp, g, length)
+    if length <= 8:
+        return _len4to8(jnp, g, length)
+    if length <= 16:
+        return _len9to16(jnp, g, length)
+    if length <= 128:
+        return _len17to128(jnp, g, length)
+    if length <= 240:
+        return _len129to240(jnp, g, length)
+    raise NotImplementedError("device XXH3 supports lengths <= 240")
 
 
 def xxh3_64_jax(a):
@@ -283,19 +293,26 @@ def xxh3_64_jax(a):
         return jnp.broadcast_to(
             jnp.array([_const(v)], dtype=jnp.uint32), (n, 2)
         )
-    if length <= 3:
-        hi, lo = _len1to3(jnp, a, length)
-    elif length <= 8:
-        hi, lo = _len4to8(jnp, a, length)
-    elif length <= 16:
-        hi, lo = _len9to16(jnp, a, length)
-    elif length <= 128:
-        hi, lo = _len17to128(jnp, a, length)
-    elif length <= 240:
-        hi, lo = _len129to240(jnp, a, length)
-    else:
-        raise NotImplementedError("device XXH3 supports lengths <= 240")
+    b = a.astype(jnp.uint32)
+    hi, lo = _dispatch(jnp, lambda off: b[:, off], length)
     return jnp.stack([hi, lo], axis=1)
+
+
+def xxh3_64_cols(cols):
+    """XXH3_64bits over byte COLUMNS: cols[j] is the j-th byte of every
+    lane (any common shape, uint8/uint32).  Returns (hi, lo) arrays of the
+    lanes' shape.  This is the form Pallas kernels use — windows of a
+    sequence are column slices, no (N, L) matrix is materialized."""
+    jnp = _jnp()
+    length = len(cols)
+    cache = {}
+
+    def g(off):
+        if off not in cache:
+            cache[off] = cols[off].astype(jnp.uint32)
+        return cache[off]
+
+    return _dispatch(jnp, g, length)
 
 
 def xxh3_mod_size(h, size_bits: int):

@@ -153,3 +153,53 @@ def test_device_ref_scan_parity():
     build_context_device(dev_idx, [ref], cfg, chunk=512)
 
     np.testing.assert_array_equal(host_idx.context_bf.words, dev_idx.context_bf.words)
+
+
+def test_pallas_window_hash_parity():
+    """Pallas fused window-hash kernel == host canonical+XXH3 (interpret
+    mode on CPU; the same kernel is compiled by Mosaic on TPU)."""
+    import jax.numpy as jnp
+
+    from malva_tpu.ops.pallas_kernels import HALO, make_window_hash_fn
+    from malva_tpu.ops.seq import canonical
+
+    k, ref_k, tile = 35, 43, 128
+    rng = np.random.default_rng(3)
+    alpha = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    n_pos = 256
+    ref = alpha[rng.integers(0, 5, size=n_pos + HALO)]
+    fn = make_window_hash_fn(k, ref_k, tile, interpret=True)
+    c_hi, c_lo, x_hi, x_lo = (np.asarray(x)[0] for x in fn(jnp.asarray(ref.astype(np.uint32))[None, :]))
+
+    wins = np.lib.stride_tricks.sliding_window_view(ref, ref_k)[:n_pos]
+    want_ctx = xxh3_64(canonical(np.ascontiguousarray(wins)))
+    want_cen = xxh3_64(canonical(np.ascontiguousarray(wins[:, 4:39])))
+    got_ctx = (x_hi.astype(np.uint64) << np.uint64(32)) | x_lo
+    got_cen = (c_hi.astype(np.uint64) << np.uint64(32)) | c_lo
+    np.testing.assert_array_equal(got_ctx, want_ctx)
+    np.testing.assert_array_equal(got_cen, want_cen)
+
+
+def test_pallas_ref_scan_parity():
+    """Full ref-scan via the Pallas kernel == host context scan."""
+    from malva_tpu.index.device import build_context_device
+
+    cfg = Config(k=35, ref_k=43, bf_size=1 << 20)
+    rng = np.random.default_rng(13)
+    alpha = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    ref = alpha[rng.integers(0, 5, size=3000)]
+
+    host_idx, _ = _tiny_index(cfg, seed=9)
+    dev_idx, _ = _tiny_index(cfg, seed=9)
+    for start in (150, 700, 1500):
+        host_idx.bf.add_keys(ref[start + 4 : start + 39][None, :])
+        dev_idx.bf.add_keys(ref[start + 4 : start + 39][None, :])
+
+    off = cfg.center_off
+    n_pos = len(ref) - cfg.ref_k + 1
+    windows = np.lib.stride_tricks.sliding_window_view(ref, cfg.ref_k)[:n_pos]
+    hits = host_idx.bf.test_keys(np.ascontiguousarray(windows[:, off : off + cfg.k]))
+    host_idx.context_bf.add_keys(np.ascontiguousarray(windows[hits]))
+
+    build_context_device(dev_idx, [ref], cfg, chunk=512, use_pallas=True)
+    np.testing.assert_array_equal(host_idx.context_bf.words, dev_idx.context_bf.words)
