@@ -110,6 +110,7 @@ def count_reads_kmers(
     log=sys.stderr,
     checkpoint: str | None = None,
     checkpoint_every_batches: int = 8,
+    use_device: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Count canonical ref_k-mers of a FASTA/FASTQ file.
 
@@ -129,6 +130,12 @@ def count_reads_kmers(
     pending_n = 0
     total_windows = 0
     start_batch = 0
+
+    device_step = None
+    if use_device:
+        from .device_count import device_sorted_counts, make_sort_count_step
+
+        device_step = make_sort_count_step(ref_k, chunk_kmers)
 
     if checkpoint is not None and os.path.exists(checkpoint):
         st = np.load(checkpoint)
@@ -151,6 +158,14 @@ def count_reads_kmers(
         block = np.concatenate(pending, axis=0)
         pending = []
         pending_n = 0
+        if device_step is not None:
+            from .device_count import device_sorted_counts
+
+            for start in range(0, block.shape[0], chunk_kmers):
+                piece = block[start : start + chunk_kmers]
+                keys, cnts = device_sorted_counts(device_step, piece, chunk_kmers, ref_k)
+                acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
+            return
         packed = pack_2bit(canonical(block))
         keys, cnts = _sorted_counts(packed)
         acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)

@@ -1,0 +1,82 @@
+"""Device-side distinct k-mer counting (the KMC replacement's hot half).
+
+The two-stage counter's cost at scale is canonicalize + pack + sort of
+every window occurrence; this module runs that on device: a batch of
+(B, ref_k) ASCII windows is canonicalized, 2-bit packed and row-sorted
+(multi-key lax.sort) in one jitted step, returning the sorted packed rows
+plus run-boundary mask.  The host then compacts runs and merges them into
+the accumulated distinct-count store (cheap versus the sort).
+
+Padding lanes are forced to all-ones packed rows AFTER packing; a real
+k-mer can never pack to all-ones when ref_k is not a multiple of 16 (the
+tail word's low bits are always zero), so the sentinel sorts last and is
+sliced off exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import seq
+from ..ops.bloom_jax import pack2bit_jax
+
+
+def make_sort_count_step(ref_k: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    if ref_k % 16 == 0:
+        raise ValueError("device counting requires ref_k % 16 != 0 (sentinel row)")
+    w = (ref_k + 15) // 16
+
+    @jax.jit
+    def step(windows, n_valid):
+        canon = seq.canonical_jax(windows)
+        packed = pack2bit_jax(canon, ref_k)
+        lane = jnp.arange(batch, dtype=jnp.int32)[:, None]
+        packed = jnp.where(lane < n_valid, packed, jnp.uint32(0xFFFFFFFF))
+        cols = [packed[:, j] for j in range(w)]
+        sorted_cols = jax.lax.sort(tuple(cols), num_keys=w)
+        s = jnp.stack(sorted_cols, axis=1)
+        boundary = jnp.concatenate(
+            [jnp.ones(1, bool), jnp.any(s[1:] != s[:-1], axis=1)]
+        )
+        return s, boundary
+
+    return step
+
+
+def device_sorted_counts(step, windows: np.ndarray, batch: int, ref_k: int):
+    """Run one padded batch through the step; return (keys_u64, counts)
+    compatible with counter._merge_runs (uint64 word layout)."""
+    n = windows.shape[0]
+    w64 = (ref_k + 31) // 32
+    if n == 0:
+        return np.zeros((0, w64), dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    if n < batch:
+        windows = np.concatenate(
+            [windows, np.zeros((batch - n, ref_k), dtype=np.uint8)]
+        )
+    s, boundary = step(windows, n)
+    s = np.asarray(s)
+    boundary = np.asarray(boundary)
+    starts = np.nonzero(boundary)[0]
+    ends = np.concatenate([starts[1:], [windows.shape[0]]])
+    keys32 = s[starts]
+    counts = (ends - starts).astype(np.int64)
+    if n < windows.shape[0]:
+        real = ~np.all(keys32 == np.uint32(0xFFFFFFFF), axis=1)
+        keys32 = keys32[real]
+        counts = counts[real]
+    # (M, w) uint32 16-base words -> (M, ceil(k/32)) uint64 32-base words
+    m, w = keys32.shape
+    out = np.zeros((m, w64), dtype=np.uint64)
+    for j in range(w64):
+        hi = keys32[:, 2 * j].astype(np.uint64)
+        lo = (
+            keys32[:, 2 * j + 1].astype(np.uint64)
+            if 2 * j + 1 < w
+            else np.zeros(m, np.uint64)
+        )
+        out[:, j] = (hi << np.uint64(32)) | lo
+    return out, counts

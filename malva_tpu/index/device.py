@@ -245,17 +245,22 @@ def build_context_device(
 
         scan_p = make_ref_scan_step_pallas(cfg.k, cfg.ref_k, cfg.bf_size, chunk)
     scan = make_ref_scan_step(cfg.k, cfg.ref_k, cfg.bf_size, chunk)
+
+    # short contigs first, on host (their adds must precede the device
+    # snapshot of the context words, or they would be overwritten below)
+    for ref in refs_used:
+        if len(ref) < cfg.ref_k:
+            off = cfg.center_off
+            if len(ref) > off:
+                sub = ref[off : off + cfg.k][None, :]
+                if index.bf.test_keys(sub)[0]:
+                    index.context_bf.add_keys(ref[: cfg.ref_k][None, :])
+
     bf_words = jnp.asarray(index.bf.words)
     ctx_words = jnp.asarray(index.context_bf.words)
     for ref in refs_used:
         L = len(ref)
         if L < cfg.ref_k:
-            # upstream's clamped single-probe for short contigs: host path
-            off = cfg.center_off
-            if L > off:
-                sub = ref[off : off + cfg.k][None, :]
-                if index.bf.test_keys(sub)[0]:
-                    index.context_bf.add_keys(ref[: cfg.ref_k][None, :])
             continue
         n_pos = L - cfg.ref_k + 1
         for start in range(0, n_pos, chunk):

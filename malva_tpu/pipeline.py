@@ -32,6 +32,27 @@ class Index:
     context_bf: BF
 
 
+def _resolve_backend(cfg: Config) -> str:
+    """host or device.  auto -> device when a non-CPU jax backend (TPU)
+    is present and the Bloom size fits the device modulo contract."""
+    if cfg.backend == "host":
+        return "host"
+    if cfg.backend == "device":
+        return "device"
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return "host"
+        ok_size = (cfg.bf_size >= (1 << 33) and cfg.bf_size % (1 << 33) == 0
+                   and (cfg.bf_size >> 33) <= 8) or (
+            cfg.bf_size & (cfg.bf_size - 1) == 0 and 32 <= cfg.bf_size <= (1 << 32)
+        )
+        return "device" if ok_size else "host"
+    except Exception:
+        return "host"
+
+
 class _KmerBatcher:
     """Accumulates variable-length k-mer byte strings, flushes grouped by
     length into batched BF/KMAP operations."""
@@ -155,6 +176,19 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
 
     # Reference context scan (main.cpp:382-401): for every ref_k-window of
     # each used contig, if the centered k-mer hits bf, record the context.
+    if _resolve_backend(cfg) == "device":
+        from .index.device import build_context_device
+
+        refs_used = [refs[n] for n in used_names if n in refs and len(refs[n]) > 0]
+        tmp = Index(bf=bf, ref_bf=ref_bf, context_bf=context_bf)
+        build_context_device(tmp, refs_used, cfg, use_pallas=True)
+        timer.pelapsed("Reference BF creation complete (device)")
+        context_bf.switch_mode()
+        print(
+            f"[malva-tpu/metrics] context-BF set bits {len(context_bf.counts)}",
+            file=sys.stderr,
+        )
+        return Index(bf=bf, ref_bf=ref_bf, context_bf=context_bf)
     off = cfg.center_off
     for seq_name in used_names:
         ref = refs.get(seq_name)
@@ -271,7 +305,12 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
 
     contexts, counts = _sample_kmers(cfg, cfg.sample_path)
     timer.pelapsed("Sample k-mer counting")
-    apply_sample_counts(index, contexts, counts, cfg)
+    if _resolve_backend(cfg) == "device":
+        from .index.device import apply_sample_counts_device
+
+        apply_sample_counts_device(index, contexts, counts, cfg)
+    else:
+        apply_sample_counts(index, contexts, counts, cfg)
     timer.pelapsed("BF weights created")
 
     _genotype_and_emit(cfg, index, refs, out, timer)
@@ -280,7 +319,8 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
 def _sample_kmers(cfg: Config, path: str):
     if cfg.from_kmc_dump:
         return load_kmc_dump(path, cfg.ref_k)
-    return count_reads_kmers(path, cfg.ref_k)
+    use_device = _resolve_backend(cfg) == "device" and cfg.ref_k % 16 != 0
+    return count_reads_kmers(path, cfg.ref_k, use_device=use_device)
 
 
 def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:

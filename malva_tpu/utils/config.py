@@ -24,6 +24,7 @@ class Config:
     bf_size: int = 1 << 35  # bits; -b N gives N * 2^33 (argument_parser.hpp:120-123)
     strip_chr: bool = False
     from_kmc_dump: bool = False  # sample path is a kmc_dump text file
+    backend: str = "auto"  # auto|host|device: where the hot loops run
     uniform: bool = False
     verbose: bool = False
     haploid: bool = False

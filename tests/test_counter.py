@@ -123,3 +123,20 @@ def test_counter_checkpoint_resume(tmp_path):
 
     np.testing.assert_array_equal(res_k, clean_k)
     np.testing.assert_array_equal(res_c, clean_c)
+
+
+def test_device_counter_matches_host(tmp_path):
+    rng = np.random.default_rng(21)
+    base = bytes(rng.choice(list(b"ACGT"), size=800))
+    fq = tmp_path / "r.fa"
+    with open(fq, "wb") as f:
+        for i in range(60):
+            s = int(rng.integers(0, 700))
+            read = bytearray(base[s : s + 90])
+            if rng.random() < 0.2:
+                read[rng.integers(0, len(read))] = ord("N")
+            f.write(b">r%d\n%s\n" % (i, bytes(read)))
+    host_k, host_c = count_reads_kmers(str(fq), 43)
+    dev_k, dev_c = count_reads_kmers(str(fq), 43, use_device=True, chunk_kmers=512)
+    np.testing.assert_array_equal(dev_k, host_k)
+    np.testing.assert_array_equal(dev_c, host_c)

@@ -51,3 +51,22 @@ def test_batch_matches_independent_calls(tmp_path):
     golden = open(os.path.join(D, "golden.vcf")).read()
     assert o1.getvalue() == golden
     assert o2.getvalue() == golden
+
+
+@pytest.mark.slow
+def test_device_backend_end_to_end():
+    """Full pipeline with backend='device' (device ref scan via Pallas
+    interpret + device call step) == golden, validating the integration
+    path the TPU actually runs."""
+    cfg = Config(
+        fasta_path=os.path.join(D, "ref.fa"),
+        vcf_path=os.path.join(D, "vars.vcf"),
+        sample_path=os.path.join(D, "reads.fa"),
+        bf_size=Config.bf_gb_to_bits(1),
+        backend="device",
+    )
+    index = build_index(cfg)
+    out = io.StringIO()
+    call(cfg, index, out)
+    golden = open(os.path.join(D, "golden.vcf")).read()
+    assert out.getvalue() == golden
