@@ -29,6 +29,19 @@ VECTOR_END = -(1 << 31)  # mirrors bcf_int32_vector_end's role as padding
 _GT_SPLIT = re.compile(r"([|/])")
 
 
+class _SelList(list):
+    """Selected-sample index list carrying a cached numpy view (building
+    a fresh array per record costs more than the GT decode itself on
+    30k-sample cohorts)."""
+
+    @property
+    def np(self):
+        a = getattr(self, "_np", None)
+        if a is None:
+            a = self._np = np.asarray(list.__iter__(self) and list(self), dtype=np.int64)
+        return a
+
+
 def _open_text(path: str):
     f = open(path, "rb")
     if f.read(2) == b"\x1f\x8b":
@@ -152,12 +165,14 @@ class VcfRecord:
                         sep == 124
                     )
                     enc = np.stack([enc1, enc2], axis=1)
-                    return enc[np.asarray(selected)], 2
+                    sel = selected.np if isinstance(selected, _SelList) else np.asarray(selected)
+                    return enc[sel], 2
             if L == 2 * n - 1 and n and (arr[1::2] == 9).all():
                 d = arr[0::2]
                 if (((d >= 48) & (d <= 57)) | (d == 46)).all():
                     enc = np.where(d == 46, 0, (d.astype(np.int64) - 47) << 1)
-                    return enc[np.asarray(selected)][:, None], 1
+                    sel = selected.np if isinstance(selected, _SelList) else np.asarray(selected)
+                    return enc[sel][:, None], 1
         out = self._genotypes_flat_slow(selected, gt_at)
         if out is None:
             return None
@@ -223,6 +238,7 @@ class VcfReader:
             if missing:
                 raise ValueError(f"samples not in VCF: {missing[:5]}")
             self.selected = [name_to_i[w] for w in wanted]
+        self.selected = _SelList(self.selected)
 
     def __iter__(self) -> Iterator[VcfRecord]:
         for line in self._fh:

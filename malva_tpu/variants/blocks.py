@@ -300,10 +300,22 @@ class VB:
                     aacs |= partial
         return aacs
 
+    def _native_engine(self):
+        from ..utils.native import CombsNative, load
+
+        lib = load()
+        return CombsNative(lib) if lib is not None else None
+
     # -- signature extraction (var_block.hpp:95-219) -----------------------
     def extract_kmers(self, reference: bytes, haploid: bool) -> dict:
         k = self.k
         self._unique_profiles(haploid)
+        native = self._native_engine()
+        if native is not None:
+            n_pos = np.array([v.ref_pos for v in self.variants], np.int64)
+            n_size = np.array([v.ref_size for v in self.variants], np.int64)
+            n_min = np.array([v.min_size for v in self.variants], np.int64)
+            n_pres = np.array([v.is_present for v in self.variants], np.uint8)
         kmers: dict[int, dict[int, list[list[bytes]]]] = {}
         for v_index in range(len(self.variants)):
             _kmers: dict[int, list[list[bytes]]] = {}
@@ -317,9 +329,13 @@ class VB:
                 kmers[v_index] = _kmers
                 continue
 
-            right_combs = self._grow_combs(v_index, +1)
-            left_combs = self._grow_combs(v_index, -1)
-            combs = self._combine_combs(left_combs, right_combs, v_index)
+            combs = None
+            if native is not None:
+                combs = native.combs(n_pos, n_size, n_min, n_pres, v_index, k)
+            if combs is None:
+                right_combs = self._grow_combs(v_index, +1)
+                left_combs = self._grow_combs(v_index, -1)
+                combs = self._combine_combs(left_combs, right_combs, v_index)
 
             for comb in combs:
                 ref_subs = self._get_ref_subs(comb, reference)

@@ -12,6 +12,7 @@ import io
 import os
 import subprocess
 
+import numpy as np
 import pytest
 
 from malva_tpu.pipeline import build_index, call
@@ -95,3 +96,37 @@ def test_fuzz_sample_subset_matches_oracle(oracle_bin, tmp_path):
     want = run_oracle(oracle_bin, fa, vcf, reads, False, d, samples=sf)
     got = run_pipeline(fa, vcf, reads, False, samples=sf)
     assert got == want
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "extra,cfg_kw",
+    [
+        (["-u"], dict(uniform=True)),
+        (["-e", "0.01"], dict(error_rate=np.float32(0.01))),
+        (["-c", "3"], dict(max_coverage=3)),  # triggers over-coverage path
+        (["-k", "21", "-r", "31"], dict(k=21, ref_k=31)),
+    ],
+)
+def test_fuzz_flag_combos_match_oracle(oracle_bin, tmp_path, extra, cfg_kw):
+    import numpy as np
+
+    d = str(tmp_path)
+    fa, vcf, reads = gen_case(d, 31, haploid=False)
+    env = dict(os.environ, MALVA_ORACLE_REFK=str(cfg_kw.get("ref_k", 43)))
+    k = cfg_kw.get("k", 35)
+    rk = cfg_kw.get("ref_k", 43)
+    args = ["-k", str(k), "-r", str(rk), "-b", "1", "-f", "AF"] + extra
+    idx = f"{vcf}.c{rk}.k{k}.malvax.zst"
+    if os.path.exists(idx):
+        os.unlink(idx)
+    subprocess.run([oracle_bin, "index"] + args + [fa, vcf, reads],
+                   check=True, capture_output=True, env=env, cwd=d)
+    want = subprocess.run([oracle_bin, "call"] + args + [fa, vcf, reads],
+                          check=True, capture_output=True, env=env, cwd=d, text=True).stdout
+    cfg = Config(fasta_path=fa, vcf_path=vcf, sample_path=reads,
+                 bf_size=Config.bf_gb_to_bits(1), **cfg_kw)
+    index = build_index(cfg)
+    buf = io.StringIO()
+    call(cfg, index, buf)
+    assert buf.getvalue() == want

@@ -96,3 +96,44 @@ def test_is_acgt_and_upper():
     up = seq.upper(a)
     assert up.tobytes() == b"ACGTACGTN"
     assert seq.is_acgt(up[:, :8])[0]
+
+
+def test_native_combs_parity():
+    """C++ combination engine == pure Python on random dense blocks."""
+    import os
+
+    from malva_tpu.utils.native import CombsNative, load
+    from malva_tpu.variants.blocks import VB
+
+    lib = load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("no native lib / compiler")
+
+    class FV:
+        def __init__(self, pos, size, minsz, present):
+            self.ref_pos = pos
+            self.ref_size = size
+            self.min_size = minsz
+            self.is_present = present
+
+    rng = np.random.default_rng(17)
+    nat = CombsNative(lib)
+    for trial in range(200):
+        n = int(rng.integers(2, 14))
+        pos = np.cumsum(rng.integers(0, 12, size=n)).astype(np.int64)
+        size = rng.integers(1, 6, size=n).astype(np.int64)
+        minsz = np.minimum(size, rng.integers(1, 4, size=n)).astype(np.int64)
+        present = rng.random(n) < 0.85
+        vb = VB(13, 0.001)
+        vb.variants = [FV(int(p), int(s), int(m), bool(pr))
+                       for p, s, m, pr in zip(pos, size, minsz, present)]
+        for center in range(n):
+            if not present[center]:
+                continue
+            want = vb._combine_combs(
+                vb._grow_combs(center, -1), vb._grow_combs(center, +1), center
+            )
+            got = nat.combs(pos, size, minsz, present.astype(np.uint8), center, 13)
+            assert got == want, (trial, center, got, want)
