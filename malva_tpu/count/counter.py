@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Iterable
-
 import numpy as np
 
 from ..io.fasta import iter_read_batches

@@ -19,8 +19,6 @@ For haploid calls best_g2 == best_g1.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 

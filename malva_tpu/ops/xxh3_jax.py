@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from .xxh3 import (
-    KSECRET,
     PRIME64_1,
     PRIME64_2,
     PRIME64_3,
@@ -82,12 +81,6 @@ def _shl(jnp, a, r: int):
         return a[1], jnp.zeros_like(a[1])
     return a[1] << (r - 32), jnp.zeros_like(a[1])
 
-
-def _rotl(jnp, a, r: int):
-    return _xor(_shl(jnp, a, r), (0, 0)) if False else (
-        (_shl(jnp, a, r)[0] | _shr(jnp, a, 64 - r)[0]),
-        (_shl(jnp, a, r)[1] | _shr(jnp, a, 64 - r)[1]),
-    )
 
 
 def _mul32(jnp, a, b):

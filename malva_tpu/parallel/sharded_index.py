@@ -30,7 +30,7 @@ from typing import Any
 import numpy as np
 
 from ..index.device import device_map_keys
-from ..index.kmap_table import SLOTS, BucketTable, probe_bucket_table
+from ..index.kmap_table import SLOTS, BucketTable
 from ..ops import seq
 from ..ops.bloom_jax import pack2bit_jax, scatter_add_u32
 from ..ops.xxh3_jax import xxh3_64_jax, xxh3_mod_size

@@ -9,7 +9,7 @@ npz of the Bloom/map arrays (rank rebuilt on load, like upstream).
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

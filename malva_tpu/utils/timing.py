@@ -6,7 +6,6 @@ stderr; stdout stays pure data.
 
 from __future__ import annotations
 
-import os
 import resource
 import sys
 import time

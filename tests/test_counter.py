@@ -86,7 +86,6 @@ def test_counter_checkpoint_resume(tmp_path):
     # force many small batches + frequent checkpoints, interrupt midway
     import malva_tpu.count.counter as counter_mod
 
-    calls = {"n": 0}
     orig = counter_mod.iter_read_batches
 
     def tiny_batches(path, batch_bases=1 << 26):
