@@ -64,8 +64,8 @@ def main() -> None:
         pass
     import jax.numpy as jnp
 
-    from malva_tpu.index.device import make_call_step
-    from malva_tpu.ops.bloom_jax import pack2bit_jax
+    from malva_tpu.index.device import RANK_BITS, _minifilter_slot_np, make_call_step_compact
+    from malva_tpu.ops.xxh3 import xxh3_64
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
@@ -74,8 +74,28 @@ def main() -> None:
     nwords = size_bits // 32
     key = jax.random.PRNGKey(0)
 
+    # synthetic exact-map: 1M random keys in the 4-way bucket table
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    from malva_tpu.index.kmap_table import BucketTable
+
+    key_arr = alpha[rng.integers(0, 4, size=(1 << 20, 35))]
+    keys = [key_arr[i].tobytes() for i in range(key_arr.shape[0])]
+    keys = list(dict.fromkeys(keys))
+    table = BucketTable(keys, 35)
+    kmap_keys = jnp.asarray(table.bucket_keys)
+
+    # exact-map mini-filter words (rank top bits), as DeviceIndex.from_host builds
+    arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 35)
+    h = xxh3_64(arr)
+    word_idx = ((h % np.uint64(size_bits)) >> np.uint64(5)).astype(np.int64)
+    mf_np = np.zeros(nwords, dtype=np.uint32)
+    np.bitwise_or.at(mf_np, word_idx, np.uint32(1) << _minifilter_slot_np(h))
+    mf = jnp.asarray(mf_np)
+    del mf_np
+
     @jax.jit
-    def build_index(key):
+    def build_index(key, mf):
         k1, k2, k3 = jax.random.split(key, 3)
         # ~1e-4 fill, at most one bit per word so rank indices stay in-bounds
         r = jax.random.randint(k1, (nwords,), 0, 10000, dtype=jnp.int32)
@@ -85,28 +105,19 @@ def main() -> None:
         ctx_words = jnp.where(r2 == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
         pc = (words != 0).astype(jnp.uint32)
         rank = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(pc)[:-1]])
-        bf_packed = jnp.stack([words, rank], axis=1)
+        bf_packed = jnp.stack([words, rank | (mf << jnp.uint32(RANK_BITS))], axis=1)
         return bf_packed, ctx_words
 
-    bf_packed, ctx_words = build_index(key)
-    counts = jnp.zeros(nwords, dtype=jnp.uint32)  # upper bound on popcount
+    bf_packed, ctx_words = build_index(key, mf)
+    del mf
+    # combined [bf_counts | kmap_vals] state; nwords is an upper bound on popcount
+    state = jnp.zeros(nwords + table.vals.shape[0], dtype=jnp.uint32)
 
-    # synthetic exact-map: 1M random keys in the 4-way bucket table
-    rng = np.random.default_rng(0)
-    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
-    from malva_tpu.index.kmap_table import BucketTable
-
-    key_arr = alpha[rng.integers(0, 4, size=(1 << 20, 35))]
-    keys = [key_arr[i].tobytes() for i in range(key_arr.shape[0])]
-    table = BucketTable(list(dict.fromkeys(keys)), 35)
-    kmap_keys = jnp.asarray(table.bucket_keys)
-    kmap_vals = jnp.asarray(table.vals)
-
-    step = make_call_step(35, 43, size_bits, table.n_buckets)
+    step = make_call_step_compact(35, 43, size_bits, table.n_buckets, BATCH)
     alpha_dev = jnp.asarray(alpha)
 
     @jax.jit
-    def bench_iter(i, bf_packed, counts, ctx_words, kmap_keys, kmap_vals):
+    def bench_iter(i, bf_packed, state, ctx_words, kmap_keys):
         k = jax.random.fold_in(jax.random.PRNGKey(7), i)
         contexts = jnp.take(
             alpha_dev,
@@ -114,20 +125,27 @@ def main() -> None:
             axis=0,
         )
         counters = jnp.ones((BATCH,), dtype=jnp.uint32)
-        return step(bf_packed, counts, ctx_words, kmap_keys, kmap_vals, contexts, counters)
+        return step(bf_packed, state, ctx_words, kmap_keys, contexts, counters)
 
-    def it(i, counts, kmap_vals):
-        return bench_iter(i, bf_packed, counts, ctx_words, kmap_keys, kmap_vals)
+    def it(i, state):
+        return bench_iter(i, bf_packed, state, ctx_words, kmap_keys)
+
+    # block_until_ready does not reliably block on tunneled backends;
+    # fetching a reduced scalar is the only trustworthy fence.
+    fence = jax.jit(lambda s: s.sum())
+
+    def sync(state):
+        np.asarray(fence(state))
 
     # warmup / compile
-    counts, kmap_vals = it(0, counts, kmap_vals)
-    counts, kmap_vals = it(1, counts, kmap_vals)
-    jax.block_until_ready((counts, kmap_vals))
+    state = it(0, state)
+    state = it(1, state)
+    sync(state)
 
     t0 = time.perf_counter()
     for i in range(2, 2 + ITERS):
-        counts, kmap_vals = it(i, counts, kmap_vals)
-    jax.block_until_ready((counts, kmap_vals))
+        state = it(i, state)
+    sync(state)
     dt = time.perf_counter() - t0
     rate = BATCH * ITERS / dt
     print(f"[bench] {rate:.3e} kmers/s over {ITERS} iters of {BATCH}", file=sys.stderr)

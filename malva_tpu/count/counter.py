@@ -129,11 +129,17 @@ def count_reads_kmers(
     total_windows = 0
     start_batch = 0
 
-    device_step = None
-    if use_device:
-        from .device_count import device_sorted_counts, make_sort_count_step
+    device_steps: dict[int, object] = {}
 
-        device_step = make_sort_count_step(ref_k, chunk_kmers)
+    def _device_step_for(m: int):
+        """Step sized to the workload (pow2-bucketed to bound recompiles) —
+        a fixed-size step would pad tiny flushes to chunk_kmers lanes."""
+        from .device_count import make_sort_count_step
+
+        size = min(1 << max(12, (max(m, 1) - 1).bit_length()), chunk_kmers)
+        if size not in device_steps:
+            device_steps[size] = make_sort_count_step(ref_k, size)
+        return size, device_steps[size]
 
     if checkpoint is not None and os.path.exists(checkpoint):
         st = np.load(checkpoint)
@@ -156,13 +162,16 @@ def count_reads_kmers(
         block = np.concatenate(pending, axis=0)
         pending = []
         pending_n = 0
-        if device_step is not None:
+        if use_device:
             from .device_count import device_sorted_counts
 
             for start in range(0, block.shape[0], chunk_kmers):
                 piece = block[start : start + chunk_kmers]
-                keys, cnts = device_sorted_counts(device_step, piece, chunk_kmers, ref_k)
-                acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
+                size, step = _device_step_for(piece.shape[0])
+                for s2 in range(0, piece.shape[0], size):
+                    sub = piece[s2 : s2 + size]
+                    keys, cnts = device_sorted_counts(step, sub, size, ref_k)
+                    acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
             return
         packed = pack_2bit(canonical(block))
         keys, cnts = _sorted_counts(packed)

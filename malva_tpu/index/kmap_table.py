@@ -72,11 +72,15 @@ class BucketTable:
                 kmers[kb] = int(vals[i])
 
 
-def probe_bucket_table(bucket_keys, n_buckets: int, w: int, packed, hash_hi, hash_lo):
-    """Device-side probe: returns (flat_slot_index int32, found bool)."""
+def probe_bucket_table(bucket_keys, n_buckets: int, w: int, packed, hash_hi, hash_lo,
+                       bucket=None):
+    """Device-side probe: returns (flat_slot_index int32, found bool).
+    Pass either the XXH3 (hi, lo) pair or the precomputed ``bucket``."""
     import jax.numpy as jnp
 
-    bucket = ((hash_lo ^ hash_hi) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+    if bucket is None:
+        bucket = (hash_lo ^ hash_hi) & jnp.uint32(n_buckets - 1)
+    bucket = bucket.astype(jnp.int32)
     rows = jnp.take(bucket_keys, bucket, axis=0)  # (B, SLOTS*w)
     found = jnp.zeros(packed.shape[0], dtype=bool)
     slot = jnp.zeros(packed.shape[0], dtype=jnp.int32)

@@ -8,6 +8,7 @@ npz of the Bloom/map arrays (rank rebuilt on load, like upstream).
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
 
@@ -32,13 +33,25 @@ class Index:
     context_bf: BF
 
 
-def _resolve_backend(cfg: Config) -> str:
+# Work-size floors for auto device routing: below these, host numpy beats
+# the device path's fixed costs (index upload to HBM, jit compiles, padded
+# batches) by a wide margin.  Tunable for co-located TPU hosts where the
+# upload is PCIe-fast.
+DEVICE_MIN_REF_POSITIONS = int(os.environ.get("MALVA_DEVICE_MIN_REF", 1 << 25))
+DEVICE_MIN_KMERS = int(os.environ.get("MALVA_DEVICE_MIN_KMERS", 1 << 22))
+DEVICE_MIN_READ_BYTES = int(os.environ.get("MALVA_DEVICE_MIN_READ_BYTES", 1 << 26))
+
+
+def _resolve_backend(cfg: Config, work: int | None = None, floor: int = 0) -> str:
     """host or device.  auto -> device when a non-CPU jax backend (TPU)
-    is present and the Bloom size fits the device modulo contract."""
+    is present, the Bloom size fits the device modulo contract, and the
+    work size clears the floor (device fixed costs need amortizing)."""
     if cfg.backend == "host":
         return "host"
     if cfg.backend == "device":
         return "device"
+    if work is not None and work < floor:
+        return "host"
     try:
         import jax
 
@@ -176,7 +189,8 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
 
     # Reference context scan (main.cpp:382-401): for every ref_k-window of
     # each used contig, if the centered k-mer hits bf, record the context.
-    if _resolve_backend(cfg) == "device":
+    total_ref = sum(len(refs[n]) for n in set(used_names) if n in refs)
+    if _resolve_backend(cfg, total_ref, DEVICE_MIN_REF_POSITIONS) == "device":
         from .index.device import build_context_device
 
         refs_used = [refs[n] for n in used_names if n in refs and len(refs[n]) > 0]
@@ -305,7 +319,7 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
 
     contexts, counts = _sample_kmers(cfg, cfg.sample_path)
     timer.pelapsed("Sample k-mer counting")
-    if _resolve_backend(cfg) == "device":
+    if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
         from .index.device import apply_sample_counts_device
 
         apply_sample_counts_device(index, contexts, counts, cfg)
@@ -319,7 +333,14 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
 def _sample_kmers(cfg: Config, path: str):
     if cfg.from_kmc_dump:
         return load_kmc_dump(path, cfg.ref_k)
-    use_device = _resolve_backend(cfg) == "device" and cfg.ref_k % 16 != 0
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    use_device = (
+        _resolve_backend(cfg, nbytes, DEVICE_MIN_READ_BYTES) == "device"
+        and cfg.ref_k % 16 != 0
+    )
     return count_reads_kmers(path, cfg.ref_k, use_device=use_device)
 
 

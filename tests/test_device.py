@@ -121,6 +121,51 @@ def test_device_call_step_parity_with_host():
     assert index_h.ref_bf.kmers == index_d.ref_bf.kmers
 
 
+@pytest.mark.parametrize("cap,minifilter", [(None, True), (8, True), (None, False), (8, False)])
+def test_compact_call_step_matches_full(cap, minifilter):
+    """Lane-compacted step == full-batch step, across compact/overflow
+    (cap=8 forces the lax.cond fallback) and minifilter on/off."""
+    import jax.numpy as jnp
+
+    from malva_tpu.index.device import DeviceIndex, make_call_step, make_call_step_compact
+    from malva_tpu.ops.seq import canonical
+
+    cfg = Config(k=35, ref_k=43, bf_size=1 << 20)
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    index, (alt_keys, ref_keys, ctx_keys) = _tiny_index(cfg)
+
+    dev = DeviceIndex.from_host(index, cfg)
+    assert dev.minifilter  # tiny index: popcount far below 2^28
+    packed = np.asarray(dev.bf_packed)
+    if not minifilter:
+        packed = packed.copy()
+        packed[:, 1] &= (1 << 28) - 1
+    bf_packed = jnp.asarray(packed)
+
+    B = 512
+    contexts = alpha[rng.integers(0, 4, size=(B, cfg.ref_k))]
+    contexts[:64, 4:39] = alt_keys[:64]
+    contexts[64:128, 4:39] = ref_keys[:64]
+    contexts[128:192] = ctx_keys[:64]
+    contexts = canonical(contexts)
+    counters = rng.integers(1, 255, size=B).astype(np.uint32)
+
+    full = make_call_step(cfg.k, cfg.ref_k, cfg.bf_size, dev.n_buckets, minifilter)
+    compact = make_call_step_compact(
+        cfg.k, cfg.ref_k, cfg.bf_size, dev.n_buckets, B, cap=cap, minifilter=minifilter
+    )
+    c_full, v_full = full(
+        bf_packed, dev.bf_counts, dev.ctx_words, dev.kmap_keys, dev.kmap_vals,
+        contexts, counters,
+    )
+    state = jnp.concatenate([dev.bf_counts, dev.kmap_vals])
+    n_counts = dev.bf_counts.shape[0]
+    state = compact(bf_packed, state, dev.ctx_words, dev.kmap_keys, contexts, counters)
+    np.testing.assert_array_equal(np.asarray(c_full), np.asarray(state[:n_counts]))
+    np.testing.assert_array_equal(np.asarray(v_full), np.asarray(state[n_counts:]))
+
+
 def test_device_ref_scan_parity():
     """Device context scan == host context scan (index phase hot loop C)."""
     import jax.numpy as jnp
