@@ -55,16 +55,22 @@ class BF:
     # -- read mode ---------------------------------------------------------
     def switch_mode(self) -> None:
         self.mode = True
-        pc = np.bitwise_count(self.words).astype(np.uint32)
-        total = int(pc.sum(dtype=np.uint64))
+        from ..utils.native import bf_rank
+
+        out = bf_rank(self.words)
+        if out is not None:
+            rank, total = out  # single-pass native popcount scan
+        else:
+            pc = np.bitwise_count(self.words).astype(np.uint32)
+            total = int(pc.sum(dtype=np.uint64))
+            # uint32 cumsum: numpy's uint64 cumsum is ~20x slower (pairwise
+            # path); totals are guarded to fit uint32 below.
+            cs = np.cumsum(pc, dtype=np.uint32)
+            rank = np.empty_like(cs)
+            rank[0] = 0
+            rank[1:] = cs[:-1]
         if total >= 1 << 32:
             raise OverflowError("Bloom filter popcount exceeds uint32 rank range")
-        # uint32 cumsum: numpy's uint64 cumsum is ~20x slower (pairwise
-        # path); totals are guarded to fit uint32 above.
-        cs = np.cumsum(pc, dtype=np.uint32)
-        rank = np.empty_like(cs)
-        rank[0] = 0
-        rank[1:] = cs[:-1]
         self.rank = rank
         self.counts = np.zeros(total, dtype=np.uint32)
 

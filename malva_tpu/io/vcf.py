@@ -130,7 +130,7 @@ class VcfRecord:
     def genotypes_arrays(self, selected) -> Optional[tuple[np.ndarray, int]]:
         """htslib-encoded GT matrix over the selected samples.
 
-        Returns ((n_selected, max_ploidy) int64 array with VECTOR_END
+        Returns ((n_selected, max_ploidy) integer array with VECTOR_END
         padding, max_ploidy) or None when the record carries no GT data
         (mirrors bcf_get_genotypes(...) <= 0, variant.hpp:169-174).
         max_ploidy spans ALL samples (htslib parses before subsetting).
@@ -160,8 +160,8 @@ class VcfRecord:
                     and (((d1 >= 48) & (d1 <= 57)) | (d1 == 46)).all()
                     and (((d2 >= 48) & (d2 <= 57)) | (d2 == 46)).all()
                 ):
-                    enc1 = np.where(d1 == 46, 0, (d1.astype(np.int64) - 47) << 1)
-                    enc2 = np.where(d2 == 46, 0, (d2.astype(np.int64) - 47) << 1) | (
+                    enc1 = np.where(d1 == 46, 0, (d1.astype(np.int32) - 47) << 1)
+                    enc2 = np.where(d2 == 46, 0, (d2.astype(np.int32) - 47) << 1) | (
                         sep == 124
                     )
                     enc = np.stack([enc1, enc2], axis=1)
@@ -170,14 +170,14 @@ class VcfRecord:
             if L == 2 * n - 1 and n and (arr[1::2] == 9).all():
                 d = arr[0::2]
                 if (((d >= 48) & (d <= 57)) | (d == 46)).all():
-                    enc = np.where(d == 46, 0, (d.astype(np.int64) - 47) << 1)
+                    enc = np.where(d == 46, 0, (d.astype(np.int32) - 47) << 1)
                     sel = selected.np if isinstance(selected, _SelList) else np.asarray(selected)
                     return enc[sel][:, None], 1
         out = self._genotypes_flat_slow(selected, gt_at)
         if out is None:
             return None
         flat, ploidy = out
-        return np.asarray(flat, dtype=np.int64).reshape(len(selected), ploidy), ploidy
+        return np.asarray(flat, dtype=np.int32).reshape(len(selected), ploidy), ploidy
 
     def genotypes_flat(self, selected) -> Optional[tuple[list[int], int]]:
         """Back-compat flat list view of :meth:`genotypes_arrays`."""

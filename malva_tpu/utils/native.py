@@ -48,12 +48,32 @@ def load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.malva_bf_rank.restype = ctypes.c_uint64
+        lib.malva_bf_rank.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         _LIB = lib
     except Exception as e:  # pragma: no cover - environment dependent
         print(f"[malva-tpu] native kernels unavailable ({e}); using Python path",
               file=sys.stderr)
         _LIB = None
     return _LIB
+
+
+def bf_rank(words: np.ndarray) -> "tuple[np.ndarray, int] | None":
+    """Exclusive popcount scan (rank) via the native kernel; None when the
+    library is unavailable (caller uses the numpy path)."""
+    lib = load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    rank = np.empty_like(words)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    total = lib.malva_bf_rank(
+        words.ctypes.data_as(u32p), words.shape[0], rank.ctypes.data_as(u32p)
+    )
+    return rank, int(total)
 
 
 class CombsNative:

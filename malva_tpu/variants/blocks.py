@@ -86,6 +86,27 @@ def _dedup_rows(mat: np.ndarray) -> np.ndarray:
     return mat[keep]
 
 
+def _dedup_rows_fast(mat: np.ndarray) -> np.ndarray:
+    """Unique rows of a uint8 matrix, fully vectorized: rows pack 8 bytes
+    per uint64 word and deduplicate by sort.  For wide rows (> 256 bytes,
+    where a many-key lexsort loses to linear hashing) and non-uint8 input
+    this falls back to :func:`_dedup_rows`."""
+    u, L = mat.shape
+    if u <= 1 or mat.dtype != np.uint8 or L > 256:
+        return _dedup_rows(mat)
+    w = (L + 7) // 8
+    pad = np.zeros((u, w * 8), np.uint8)
+    pad[:, :L] = mat
+    keys = pad.view(np.uint64)  # (u, w); any bijective packing works
+    if w == 1:
+        _, first = np.unique(keys[:, 0], return_index=True)
+        return np.ascontiguousarray(mat[first])
+    order = np.lexsort(tuple(keys[:, j] for j in range(w - 1, -1, -1)))
+    s = keys[order]
+    sel = np.concatenate([[True], np.any(s[1:] != s[:-1], axis=1)])
+    return np.ascontiguousarray(mat[order[sel]])
+
+
 class VB:
     """A block of nearby variants (var_block.hpp:61)."""
 
@@ -208,7 +229,7 @@ class VB:
             last_end = v.ref_pos + v.ref_size
         return subs
 
-    def _unique_profiles(self, haploid: bool) -> dict[int, int]:
+    def _unique_profiles(self, haploid: bool) -> None:
         """Deduplicate individuals by their joint genotype over the block's
         present variants.
 
@@ -216,10 +237,9 @@ class VB:
         (var_block.hpp:743); since results land in a dedup set, iterating
         the *unique* joint genotypes is equivalent and turns cohort-scale
         sample counts (30k in the SARS-CoV-2 example) into a handful of
-        profiles per block.  Returns nothing useful per se — it populates
-        self._profiles (tuple per unique individual, elements aligned with
-        self._present_order) and self._present_pos (variant index ->
-        position in profile tuples).
+        profiles per block.  Populates self._profiles_mat (one row per
+        unique individual profile) and self._present_pos (variant index ->
+        column group in the profile matrix).
         """
         present = [
             j for j, v in enumerate(self.variants) if v.is_present and v.n_individuals
@@ -227,65 +247,110 @@ class VB:
         self._present_pos = {j: p for p, j in enumerate(present)}
         cols = [self.variants[j] for j in present]
         if cols:
+            n_ind = cols[0].n_individuals
+            hi = max(
+                max(int(v.gt_a1.max(initial=0)), int(v.gt_a2.max(initial=0)))
+                for v in cols
+            )
+            dt = np.uint8 if hi < 256 else np.int32
             if haploid:
-                mat = np.stack([v.gt_a1 for v in cols], axis=1)  # (n_ind, P)
+                mat = np.empty((n_ind, len(cols)), dtype=dt)
+                for p, v in enumerate(cols):
+                    mat[:, p] = v.gt_a1
             else:
-                mat = np.stack(
-                    sum(([v.gt_a1, v.gt_a2, v.phase.astype(np.int32)] for v in cols), []),
-                    axis=1,
-                )  # (n_ind, 3P) columns grouped per variant
+                mat = np.empty((n_ind, 3 * len(cols)), dtype=dt)
+                for p, v in enumerate(cols):  # columns grouped per variant
+                    mat[:, 3 * p] = v.gt_a1
+                    mat[:, 3 * p + 1] = v.gt_a2
+                    mat[:, 3 * p + 2] = v.phase
             self._profiles_mat = _dedup_rows(mat)
         else:
-            self._profiles_mat = np.zeros((0, 0), dtype=np.int32)
+            self._profiles_mat = np.zeros((0, 0), dtype=np.uint8)
 
     @staticmethod
     def _unique_rows_of(sub: np.ndarray):
         """Unique rows of a small-int matrix as Python int lists.
 
-        Bytes-set dedup over uint8-cast rows: ~50x faster than
-        np.unique(axis=0)'s void-dtype sort for the (U, L) projections
-        this code makes per combination.  Falls back to np.unique when
-        values exceed uint8 (VCFs with >255 ALTs).
-        """
+        uint8 rows are packed 8-per-uint64 word and deduplicated with a
+        vectorized sort — no per-row Python work for the (U, L)
+        projections this code makes per combination.  Falls back to
+        np.unique when values exceed uint8 (VCFs with >255 ALTs)."""
         if sub.shape[0] == 0:
             return
-        if sub.size and int(sub.max(initial=0)) < 256 and int(sub.min(initial=0)) >= 0:
-            u8 = np.ascontiguousarray(sub, dtype=np.uint8)
-            L = u8.shape[1]
-            data = u8.tobytes()
-            seen = set()
-            for i in range(u8.shape[0]):
-                b = data[i * L : (i + 1) * L]
-                if b not in seen:
-                    seen.add(b)
-                    yield list(b)
+        if sub.dtype != np.uint8:
+            if sub.size and 0 <= int(sub.min(initial=0)) and int(sub.max(initial=0)) < 256:
+                sub = np.ascontiguousarray(sub, dtype=np.uint8)
+            else:
+                for row in np.unique(sub, axis=0):
+                    yield row.tolist()
+                return
+        u, L = sub.shape
+        w = (L + 7) // 8
+        pad = np.zeros((u, w * 8), np.uint8)
+        pad[:, :L] = sub
+        keys = pad.view(np.uint64)  # (u, w); any bijective packing works
+        if w == 1:
+            uniq = np.unique(keys[:, 0])[:, None]
         else:
-            for row in np.unique(sub, axis=0):
-                yield row.tolist()
+            order = np.lexsort(tuple(keys[:, j] for j in range(w - 1, -1, -1)))
+            s = keys[order]
+            sel = np.concatenate([[True], np.any(s[1:] != s[:-1], axis=1)])
+            uniq = s[sel]
+        rows = uniq.view(np.uint8).reshape(uniq.shape[0], w * 8)[:, :L]
+        for row in rows:
+            yield row.tolist()
+
+    @staticmethod
+    def _project_dedup(mat: np.ndarray, pos: dict[int, int], window: list[int],
+                       haploid: bool):
+        """Project a profile matrix onto the column groups of ``window``
+        (1 column per variant haploid, 3 diploid) and deduplicate rows.
+        Returns (wmat, local_pos) with local_pos mapping variant index ->
+        group index in wmat."""
+        if haploid:
+            wcols = [pos[j] for j in window]
+        else:
+            wcols = []
+            for j in window:
+                p = pos[j]
+                wcols.extend((3 * p, 3 * p + 1, 3 * p + 2))
+        wmat = _dedup_rows_fast(np.ascontiguousarray(mat[:, wcols]))
+        return wmat, {j: w for w, j in enumerate(window)}
+
+    def _alleles_of(self, j: int) -> list[bytes]:
+        """Per-variant allele byte strings with the out-of-range clamp of
+        :func:`_get_allele`, cached per extract_kmers call."""
+        t = self._atab.get(j)
+        if t is None:
+            v = self.variants[j]
+            t = self._atab[j] = [v.get_allele(i) for i in range(len(v.alts) + 1)]
+        return t
+
+    def _allele(self, j: int, a: int) -> bytes:
+        t = self._alleles_of(j)
+        return t[a] if a < len(t) else _get_allele(self.variants[j], a)
 
     def _build_alleles_combs(
-        self, comb: list[int], central_index: int, haploid: bool
+        self, comb: list[int], wmat: np.ndarray, local_pos: dict[int, int],
+        haploid: bool,
     ) -> set[tuple[bytes, ...]]:
         """var_block.hpp:734-786 over unique genotype profiles, with
         incremental dedup replacing the explicit 2^n haplotype table of
         combine_haplotypes (same final set)."""
         aacs: set[tuple[bytes, ...]] = set()
-        variants = self.variants
-        pos = self._present_pos
-        comb_pos = [pos[j] for j in comb]
+        al = self._allele
+        comb_pos = [local_pos[j] for j in comb]
         if haploid:
-            for row in self._unique_rows_of(self._profiles_mat[:, comb_pos]):
-                aacs.add(
-                    tuple(_get_allele(variants[j], a) for j, a in zip(comb, row))
-                )
+            for row in self._unique_rows_of(wmat[:, comb_pos]):
+                aacs.add(tuple(al(j, a) for j, a in zip(comb, row)))
         else:
             cols = []
             for p in comb_pos:
                 cols.extend((3 * p, 3 * p + 1, 3 * p + 2))
-            for r in self._unique_rows_of(self._profiles_mat[:, cols]):
+            for r in self._unique_rows_of(wmat[:, cols]):
                 phased = all(r[3 * i + 2] for i in range(len(comb)))
-                hap1 = [_get_allele(variants[j], r[3 * i]) for i, j in enumerate(comb)]
-                hap2 = [_get_allele(variants[j], r[3 * i + 1]) for i, j in enumerate(comb)]
+                hap1 = [al(j, r[3 * i]) for i, j in enumerate(comb)]
+                hap2 = [al(j, r[3 * i + 1]) for i, j in enumerate(comb)]
                 if phased:
                     aacs.add(tuple(hap1))
                     aacs.add(tuple(hap2))
@@ -310,6 +375,7 @@ class VB:
     def extract_kmers(self, reference: bytes, haploid: bool) -> dict:
         k = self.k
         self._unique_profiles(haploid)
+        self._atab: dict[int, list[bytes]] = {}
         native = self._native_engine()
         if native is not None:
             n_pos = np.array([v.ref_pos for v in self.variants], np.int64)
@@ -317,72 +383,96 @@ class VB:
             n_min = np.array([v.min_size for v in self.variants], np.int64)
             n_pres = np.array([v.is_present for v in self.variants], np.uint8)
         kmers: dict[int, dict[int, list[list[bytes]]]] = {}
-        for v_index in range(len(self.variants)):
-            _kmers: dict[int, list[list[bytes]]] = {}
-            v = self.variants[v_index]
-
-            if (
-                not v.is_present
-                or v.ref_pos < k
-                or v.ref_pos > len(reference) - k
-            ):
-                kmers[v_index] = _kmers
+        n = len(self.variants)
+        # Window dedup is two-level: once per CHUNK of consecutive variants
+        # over the union of their combinations' columns (amortizes the
+        # dedup over the full unique-profile matrix, which can be 10k+ rows
+        # on cohort data), then per variant from that much smaller matrix.
+        CHUNK = 64
+        for base in range(0, n, CHUNK):
+            members: list[int] = []
+            combs_of: dict[int, list[list[int]]] = {}
+            for v_index in range(base, min(base + CHUNK, n)):
+                kmers[v_index] = {}
+                v = self.variants[v_index]
+                if (
+                    not v.is_present
+                    or v.ref_pos < k
+                    or v.ref_pos > len(reference) - k
+                ):
+                    continue
+                combs = None
+                if native is not None:
+                    combs = native.combs(n_pos, n_size, n_min, n_pres, v_index, k)
+                if combs is None:
+                    right_combs = self._grow_combs(v_index, +1)
+                    left_combs = self._grow_combs(v_index, -1)
+                    combs = self._combine_combs(left_combs, right_combs, v_index)
+                members.append(v_index)
+                combs_of[v_index] = combs
+            if not members:
                 continue
-
-            combs = None
-            if native is not None:
-                combs = native.combs(n_pos, n_size, n_min, n_pres, v_index, k)
-            if combs is None:
-                right_combs = self._grow_combs(v_index, +1)
-                left_combs = self._grow_combs(v_index, -1)
-                combs = self._combine_combs(left_combs, right_combs, v_index)
-
-            for comb in combs:
-                ref_subs = self._get_ref_subs(comb, reference)
-                aacs = self._build_alleles_combs(comb, v_index, haploid)
-
-                for aac in aacs:
-                    ksss: list[bytes] = []
-                    if len(aac) == 1 and len(aac[0]) >= k:
-                        mid_allele = aac[0]
-                        for p in range(len(mid_allele) - k + 1):
-                            ksss.append(mid_allele[p : p + k])
-                    else:
-                        kmer = b""
-                        mid_pos_in_kmer = 0
-                        mid_allele = b""
-                        for j in range(len(aac)):
-                            rs = ref_subs[j] if j < len(ref_subs) else b""
-                            if comb[j] == v_index:
-                                mid_pos_in_kmer = len(kmer)
-                                mid_allele = aac[j]
-                            kmer += aac[j] + rs
-
-                        first_part = mid_pos_in_kmer + len(mid_allele) // 2
-                        second_part = len(kmer) - first_part
-                        missing_prefix = k // 2 - first_part
-                        missing_suffix = (k + 1) // 2 - second_part
-
-                        if missing_prefix >= 0:
-                            first_var = self.variants[comb[0]]
-                            start = first_var.ref_pos - missing_prefix
-                            if start < 0:
-                                start = 0  # upstream would throw (UB edge)
-                            kmer = reference[start : first_var.ref_pos] + kmer
-                        else:
-                            kmer = kmer[-missing_prefix:]
-
-                        if missing_suffix >= 0:
-                            last_var = self.variants[comb[-1]]
-                            pos = last_var.ref_pos + last_var.ref_size
-                            kmer = kmer + reference[pos : pos + missing_suffix]
-                        else:
-                            kmer = kmer[: len(kmer) + missing_suffix]
-
-                        ksss.append(kmer)
-
-                    allele_index = v.get_allele_index(mid_allele)
-                    _kmers.setdefault(allele_index, []).append(ksss)
-                kmers[v_index] = _kmers
-            kmers[v_index] = _kmers
+            cwindow = sorted({j for cs in combs_of.values() for c in cs for j in c})
+            cmat, cpos = self._project_dedup(
+                self._profiles_mat, self._present_pos, cwindow, haploid
+            )
+            for v_index in members:
+                self._extract_for_variant(
+                    v_index, combs_of[v_index], cmat, cpos, reference, haploid, kmers
+                )
         return kmers
+
+    def _extract_for_variant(self, v_index, combs, cmat, cpos, reference,
+                             haploid, kmers) -> None:
+        k = self.k
+        v = self.variants[v_index]
+        _kmers: dict[int, list[list[bytes]]] = {}
+        window = sorted({j for c in combs for j in c})
+        wmat, local_pos = self._project_dedup(cmat, cpos, window, haploid)
+        for comb in combs:
+            ref_subs = self._get_ref_subs(comb, reference)
+            aacs = self._build_alleles_combs(comb, wmat, local_pos, haploid)
+
+            for aac in aacs:
+                ksss: list[bytes] = []
+                if len(aac) == 1 and len(aac[0]) >= k:
+                    mid_allele = aac[0]
+                    for p in range(len(mid_allele) - k + 1):
+                        ksss.append(mid_allele[p : p + k])
+                else:
+                    kmer = b""
+                    mid_pos_in_kmer = 0
+                    mid_allele = b""
+                    for j in range(len(aac)):
+                        rs = ref_subs[j] if j < len(ref_subs) else b""
+                        if comb[j] == v_index:
+                            mid_pos_in_kmer = len(kmer)
+                            mid_allele = aac[j]
+                        kmer += aac[j] + rs
+
+                    first_part = mid_pos_in_kmer + len(mid_allele) // 2
+                    second_part = len(kmer) - first_part
+                    missing_prefix = k // 2 - first_part
+                    missing_suffix = (k + 1) // 2 - second_part
+
+                    if missing_prefix >= 0:
+                        first_var = self.variants[comb[0]]
+                        start = first_var.ref_pos - missing_prefix
+                        if start < 0:
+                            start = 0  # upstream would throw (UB edge)
+                        kmer = reference[start : first_var.ref_pos] + kmer
+                    else:
+                        kmer = kmer[-missing_prefix:]
+
+                    if missing_suffix >= 0:
+                        last_var = self.variants[comb[-1]]
+                        pos = last_var.ref_pos + last_var.ref_size
+                        kmer = kmer + reference[pos : pos + missing_suffix]
+                    else:
+                        kmer = kmer[: len(kmer) + missing_suffix]
+
+                    ksss.append(kmer)
+
+                allele_index = v.get_allele_index(mid_allele)
+                _kmers.setdefault(allele_index, []).append(ksss)
+        kmers[v_index] = _kmers

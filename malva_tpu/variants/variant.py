@@ -95,7 +95,7 @@ class Variant:
         if out is None:
             self.has_alts = False
             return
-        enc, ploidy = out  # (n, ploidy) int64, htslib encoding
+        enc, ploidy = out  # (n, ploidy) integer, htslib encoding
         first = enc[:, 0]
         if ploidy >= 2:
             second = enc[:, 1]
@@ -103,13 +103,15 @@ class Variant:
             # the reference reads slot base+1 anyway, which for ploidy 1 is
             # the NEXT sample's first entry; the final sample's read is out
             # of bounds upstream — defined here as VECTOR_END (copy).
-            second = np.concatenate([first[1:], [VECTOR_END]])
+            second = np.empty_like(first)
+            second[:-1] = first[1:]
+            second[-1] = VECTOR_END
         is_end = second == VECTOR_END
         a1 = np.maximum((first >> 1) - 1, 0)
         a2 = np.where(is_end, a1, np.maximum((second >> 1) - 1, 0))
         phased = np.where(is_end, True, (second & 1).astype(bool))
-        self.gt_a1 = a1.astype(np.int32)
-        self.gt_a2 = a2.astype(np.int32)
+        self.gt_a1 = a1.astype(np.int32, copy=False)
+        self.gt_a2 = a2.astype(np.int32, copy=False)
         self.phase = phased
 
     @property

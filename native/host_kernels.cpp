@@ -153,4 +153,18 @@ int64_t malva_combs(const int64_t* pos, const int64_t* size,
   return n_combs;
 }
 
+// Exclusive popcount scan over the Bloom bit words: rank[i] = number of
+// set bits in words[0..i).  This is the rank_support_v rebuild the
+// genotyper does at switch_mode/load (reference bloom_filter.hpp:93-98);
+// one memory-bandwidth-bound pass here replaces numpy's bitwise_count +
+// cumsum double pass.  Returns the total popcount.
+uint64_t malva_bf_rank(const uint32_t* words, int64_t n, uint32_t* rank) {
+  uint64_t acc = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    rank[i] = (uint32_t)acc;
+    acc += (uint64_t)__builtin_popcount(words[i]);
+  }
+  return acc;
+}
+
 }  // extern "C"
