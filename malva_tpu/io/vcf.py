@@ -262,6 +262,17 @@ class VcfReader:
         self._fh.close()
 
 
+def open_variant_reader(path: str, samples: str = "-"):
+    """VcfReader or BcfReader by content sniffing — the htslib-equivalent
+    transparent handling of text VCF / bgzip'd VCF / binary BCF
+    (reference: bcf_open at main.cpp:261)."""
+    from .bcf import BcfReader, is_bcf
+
+    if is_bcf(path):
+        return BcfReader(path, samples)
+    return VcfReader(path, samples)
+
+
 GT_HDR = '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">'
 GQ_HDR = '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">'
 COVS_HDR = '##INFO=<ID=COVS,Number=R,Type=Integer,Description="Allele coverages">'

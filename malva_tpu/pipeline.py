@@ -18,7 +18,7 @@ from .count.counter import count_reads_kmers, load_kmc_dump
 from .index.bloom_filter import BF
 from .index.kmap import KMAP
 from .io.fasta import load_reference
-from .io.vcf import VcfReader, cleaned_header
+from .io.vcf import cleaned_header, open_variant_reader
 from .models.genotype import format_variants, genotype_block
 from .utils.config import Config
 from .utils.timing import PhaseTimer
@@ -106,7 +106,7 @@ def _iter_blocks(
     whose single passing variant never triggers a flush is *not* recorded
     (upstream quirk, kept).
     """
-    reader = VcfReader(cfg.vcf_path, cfg.samples)
+    reader = open_variant_reader(cfg.vcf_path, cfg.samples)
     vb = VB(cfg.k, float(cfg.error_rate))
     last_seq_name = None
     i = 0
@@ -345,7 +345,7 @@ def _sample_kmers(cfg: Config, path: str):
 
 
 def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:
-    reader = VcfReader(cfg.vcf_path, cfg.samples)
+    reader = open_variant_reader(cfg.vcf_path, cfg.samples)
     out.write(cleaned_header(reader.meta_lines, cfg.verbose))
 
     ref_bytes_cache: dict[int, bytes] = {}
