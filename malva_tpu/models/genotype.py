@@ -38,10 +38,47 @@ def log_binomial(n: int, k: int) -> float:
     return n * math.log(n) - k * math.log(k) - (n - k) * math.log(n - k)
 
 
+_LABELS_H: dict[int, list[str]] = {}
+_LABELS_D: dict[int, list[str]] = {}
+
+
+def _labels(n_all: int, haploid: bool) -> list[str]:
+    cache = _LABELS_H if haploid else _LABELS_D
+    out = cache.get(n_all)
+    if out is None:
+        if haploid:
+            out = [str(g) for g in range(n_all)]
+        else:
+            out = [f"{g1}/{g2}" for g1 in range(n_all) for g2 in range(g1, n_all)]
+        cache[n_all] = out
+    return out
+
+
 def genotype_block(
     variants: list[Variant], max_cov: int, haploid: bool, error_rate: F32
 ) -> None:
-    """Compute posterior weights for every variant's genotypes in place."""
+    """Compute posterior weights for every variant's genotypes in place.
+
+    Uses the native kernel (libm log/exp in double, float32 operand
+    pre-rounding — the exact arithmetic of the reference, parity-gated by
+    the oracle fuzz suite) when available; the Python path below is the
+    scalar mirror."""
+    if _genotype_block_native(variants, max_cov, haploid, error_rate):
+        return
+    genotype_block_py(variants, max_cov, haploid, error_rate)
+
+
+def _genotype_block_native(
+    variants: list[Variant], max_cov: int, haploid: bool, error_rate: F32
+) -> bool:
+    from ..utils.native import genotype_block_native
+
+    return genotype_block_native(variants, max_cov, haploid, error_rate, _labels)
+
+
+def genotype_block_py(
+    variants: list[Variant], max_cov: int, haploid: bool, error_rate: F32
+) -> None:
     best_geno = "0" if haploid else "0/0"
     er = F32(error_rate)
 

@@ -53,6 +53,14 @@ def load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.malva_genotype_block.restype = ctypes.c_int64
+        lib.malva_genotype_block.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ]
         _LIB = lib
     except Exception as e:  # pragma: no cover - environment dependent
         print(f"[malva-tpu] native kernels unavailable ({e}); using Python path",
@@ -74,6 +82,59 @@ def bf_rank(words: np.ndarray) -> "tuple[np.ndarray, int] | None":
         words.ctypes.data_as(u32p), words.shape[0], rank.ctypes.data_as(u32p)
     )
     return rank, int(total)
+
+
+def genotype_block_native(variants, max_cov: int, haploid: bool, error_rate,
+                          labels_fn) -> bool:
+    """Native genotype likelihoods over a variant batch; returns False when
+    the library is unavailable (caller runs the Python mirror)."""
+    lib = load()
+    if lib is None or not variants:
+        return lib is not None
+    n_var = len(variants)
+    off = np.zeros(n_var + 1, dtype=np.int64)
+    for i, v in enumerate(variants):
+        off[i + 1] = off[i] + len(v.coverages)
+    cov = np.empty(off[-1], dtype=np.int64)
+    freqs = np.empty(off[-1], dtype=np.float32)
+    for i, v in enumerate(variants):
+        cov[off[i] : off[i + 1]] = v.coverages
+        freqs[off[i] : off[i + 1]] = v.frequencies
+    # capacity: diploid worst case n*(n+1)/2 per variant
+    sizes = np.diff(off)
+    cap = int((sizes * (sizes + 1) // 2).sum()) + n_var
+    mode = np.zeros(n_var, dtype=np.int8)
+    n_out = np.zeros(n_var, dtype=np.int32)
+    probs = np.empty(cap, dtype=np.float64)
+
+    w = lib.malva_genotype_block(
+        cov.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_var, 1 if haploid else 0, max_cov, ctypes.c_float(float(error_rate)),
+        mode.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        n_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cap,
+    )
+    if w < 0:  # pragma: no cover - capacity is exact by construction
+        return False
+    best = "0" if haploid else "0/0"
+    at = 0
+    for i, v in enumerate(variants):
+        m = int(mode[i])
+        if m == 1:
+            v.computed_gts = [(best, 0.0)] * int(n_out[i])
+        elif m == 2:
+            v.computed_gts = [(best, 1.0)]
+        elif m == 3:
+            v.computed_gts = [(best, 0.0)]
+        else:
+            c = int(n_out[i])
+            lab = labels_fn(len(v.coverages), haploid)
+            v.computed_gts = list(zip(lab, probs[at : at + c].tolist()))
+            at += c
+    return True
 
 
 class CombsNative:

@@ -153,6 +153,111 @@ int64_t malva_combs(const int64_t* pos, const int64_t* size,
   return n_combs;
 }
 
+// Genotype likelihoods for a batch of variants (semantics of reference
+// var_block.hpp:224-330 as mirrored by malva_tpu/models/genotype.py).
+// Bit-exactness requires libm log/exp in double with float32 operand
+// pre-rounding exactly where the C++ reference has float expressions —
+// this kernel IS that C++, so parity is by construction (and fuzz-gated).
+//
+// Inputs are flattened per-variant arrays: variant v owns
+// cov[off[v]:off[v+1]] and freqs[same range]; n_all = off[v+1]-off[v].
+// Outputs: mode[v] (0 = normal probabilities, 1 = over-coverage guard,
+// 2 = single-allele, 3 = zero total coverage), n_out[v] = number of
+// emitted entries, probs = concatenated normal-mode probabilities in
+// genotype order (haploid: g ascending; diploid: (g1,g2) with g2 >= g1,
+// g1 outer).  For mode 1, n_out = number of over-covered alleles.
+// Returns total probs written, or -1 if max_probs would be exceeded.
+
+#include <cmath>
+
+namespace {
+
+inline double xlog(float x) {
+  double d = (double)x;
+  if (d == 0.0) return -INFINITY;
+  if (d < 0.0) return NAN;
+  return std::log(d);
+}
+
+inline double log_binomial(int64_t n, int64_t k) {
+  if (n == 0 || n == k || k == 0) return 0.0;
+  double dn = (double)n, dk = (double)k, dr = (double)(n - k);
+  return dn * std::log(dn) - dk * std::log(dk) - dr * std::log(dr);
+}
+
+inline double store(double lp) { return std::isinf(lp) ? 0.0 : std::exp(lp); }
+
+}  // namespace
+
+extern "C" {
+
+int64_t malva_genotype_block(const int64_t* cov, const float* freqs,
+                             const int64_t* off, int64_t n_var,
+                             int haploid, int64_t max_cov, float er,
+                             int8_t* mode, int32_t* n_out,
+                             double* probs, int64_t max_probs) {
+  int64_t w = 0;
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t* c = cov + off[v];
+    const float* f = freqs + off[v];
+    int64_t n_all = off[v + 1] - off[v];
+
+    int32_t over = 0;
+    for (int64_t i = 0; i < n_all; ++i)
+      if (c[i] > max_cov) ++over;
+    if (over) { mode[v] = 1; n_out[v] = over; continue; }
+    if (n_all == 1) { mode[v] = 2; n_out[v] = 1; continue; }
+
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_all; ++i) total += c[i];
+    if (total == 0) { mode[v] = 3; n_out[v] = 1; continue; }
+
+    mode[v] = 0;
+    if (haploid) {
+      if (w + n_all > max_probs) return -1;
+      for (int64_t g1 = 0; g1 < n_all; ++g1) {
+        int64_t truth = c[g1], error = total - truth;
+        double log_prior = 2 * xlog(f[g1]);
+        double log_post = log_binomial(truth + error, truth)
+            + (double)truth * xlog(1.0f - er)
+            + (double)error * xlog(er / (float)(n_all - 1));
+        probs[w++] = store(log_prior + log_post);
+      }
+      n_out[v] = (int32_t)n_all;
+    } else {
+      int64_t cnt = n_all * (n_all + 1) / 2;
+      if (w + cnt > max_probs) return -1;
+      for (int64_t g1 = 0; g1 < n_all; ++g1) {
+        for (int64_t g2 = g1; g2 < n_all; ++g2) {
+          double log_prior, log_post;
+          if (g1 == g2) {
+            log_prior = 2 * xlog(f[g1]);
+            int64_t truth = c[g1], error = total - truth;
+            log_post = log_binomial(truth + error, truth)
+                + (double)truth * xlog(1.0f - er)
+                + (double)error * xlog(er / (float)(n_all - 1));
+          } else {
+            log_prior = xlog(2.0f * f[g1] * f[g2]);
+            int64_t t1 = c[g1], t2 = c[g2];
+            int64_t error = total - t1 - t2;
+            log_post = log_binomial(t1 + t2 + error, t1 + t2)
+                + log_binomial(t1 + t2, t1)
+                + (double)t1 * xlog((1.0f - er) / 2.0f)
+                + (double)t2 * xlog((1.0f - er) / 2.0f);
+            if (n_all > 2)
+              log_post += (double)error * xlog(er / (float)(n_all - 2));
+          }
+          probs[w++] = store(log_prior + log_post);
+        }
+      }
+      n_out[v] = (int32_t)cnt;
+    }
+  }
+  return w;
+}
+
+}  // extern "C"
+
 // Exclusive popcount scan over the Bloom bit words: rank[i] = number of
 // set bits in words[0..i).  This is the rank_support_v rebuild the
 // genotyper does at switch_mode/load (reference bloom_filter.hpp:93-98);

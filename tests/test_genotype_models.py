@@ -85,3 +85,41 @@ def test_device_model_agrees_with_host_argmax():
             assert abs(int(hq) - int(gq[i])) <= 2
     # f32 vs f64 may disagree only on near-ties
     assert agree >= B * 0.97
+
+
+def test_native_genotype_block_parity():
+    """Native likelihood kernel == scalar Python mirror, bit-exact
+    (libm double log/exp with float32 operand pre-rounding)."""
+    import numpy as np
+
+    from malva_tpu.models import genotype as G
+
+    class FakeVariant:
+        def __init__(self, cov, freqs):
+            self.coverages = list(cov)
+            self.frequencies = [np.float32(f) for f in freqs]
+            self.computed_gts = []
+
+        def add_genotype(self, g, p):
+            self.computed_gts.append((g, p))
+
+    rng = np.random.default_rng(0)
+    for haploid in (True, False):
+        for trial in range(150):
+            n_all = int(rng.integers(1, 6))
+            cov = rng.integers(0, 250, size=n_all).tolist()
+            freqs = rng.random(n_all).astype(np.float32)
+            if trial % 7 == 0:
+                freqs[0] = np.float32(0.0)
+            if trial % 11 == 0:
+                cov = [0] * n_all
+            v1, v2 = FakeVariant(cov, freqs), FakeVariant(cov, freqs)
+            G.genotype_block_py([v1], 200, haploid, np.float32(0.001))
+            if not G._genotype_block_native([v2], 200, haploid, np.float32(0.001)):
+                import pytest
+
+                pytest.skip("native library unavailable")
+            assert len(v1.computed_gts) == len(v2.computed_gts)
+            for (g1, p1), (g2, p2) in zip(v1.computed_gts, v2.computed_gts):
+                assert g1 == g2
+                assert (p1 == p2) or (np.isnan(p1) and np.isnan(p2))
