@@ -173,6 +173,16 @@ class VcfRecord:
                     enc = np.where(d == 46, 0, (d.astype(np.int32) - 47) << 1)
                     sel = selected.np if isinstance(selected, _SelList) else np.asarray(selected)
                     return enc[sel][:, None], 1
+        if n:
+            # native parser covers irregular FORMATs (GT not first or with
+            # sibling fields, multi-digit alleles, mixed ploidy)
+            from ..utils.native import parse_gt
+
+            got = parse_gt(self.samples_raw.encode("ascii", "replace"), n, gt_at)
+            if got is not None:
+                enc, ploidy = got
+                sel = selected.np if isinstance(selected, _SelList) else np.asarray(selected)
+                return enc[sel], ploidy
         out = self._genotypes_flat_slow(selected, gt_at)
         if out is None:
             return None

@@ -53,6 +53,11 @@ def load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.malva_parse_gt.restype = ctypes.c_int64
+        lib.malva_parse_gt.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
         lib.malva_genotype_block.restype = ctypes.c_int64
         lib.malva_genotype_block.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
@@ -82,6 +87,29 @@ def bf_rank(words: np.ndarray) -> "tuple[np.ndarray, int] | None":
         words.ctypes.data_as(u32p), words.shape[0], rank.ctypes.data_as(u32p)
     )
     return rank, int(total)
+
+
+def parse_gt(samples_raw: bytes, n_samples: int, gt_at: int,
+             cap: int = 8) -> "tuple[np.ndarray, int] | None":
+    """Native GT parse of a record's sample region; None when the library
+    is unavailable or the input needs the Python path (malformed /
+    ploidy > cap)."""
+    lib = load()
+    if lib is None or n_samples == 0:
+        return None
+    buf = np.frombuffer(samples_raw, dtype=np.uint8)
+    for c in (cap, 64):  # -1 can mean ploidy overflow: one big retry
+        out = np.empty((n_samples, c), dtype=np.int32)
+        mp = lib.malva_parse_gt(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.shape[0],
+            n_samples, gt_at,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), c,
+        )
+        if mp > 0:
+            return np.ascontiguousarray(out[:, :mp]), int(mp)
+        if mp == 0:
+            return None
+    return None
 
 
 def genotype_block_native(variants, max_cov: int, haploid: bool, error_rate,

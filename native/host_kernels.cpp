@@ -153,6 +153,84 @@ int64_t malva_combs(const int64_t* pos, const int64_t* size,
   return n_combs;
 }
 
+// GT parsing over a VCF record's sample region (the tab-joined columns
+// 10+).  Mirrors malva_tpu/io/vcf.py::_encode_gt / _genotypes_flat_slow
+// exactly: htslib encoding ((allele+1)<<1 | phased-of-preceding-sep,
+// '.'/'' -> 0|phase), a leading separator donates its phase to the first
+// allele, max ploidy spans ALL samples, shorter samples pad with
+// VECTOR_END.  This covers the irregular FORMATs (GT:DP:..., GT not
+// first, multi-digit alleles) the numpy fast path can't.
+//
+// out must hold n_samples * max_ploidy_cap int32.  Rows are written at
+// stride max_ploidy_cap; the caller slices to the returned max_ploidy.
+// Returns max_ploidy, or -1 on any malformed input (caller falls back to
+// the Python path, preserving its exception behavior).
+
+extern "C" int64_t malva_parse_gt(const uint8_t* s, int64_t len,
+                                  int64_t n_samples, int64_t gt_at,
+                                  int32_t* out, int64_t cap) {
+  const int32_t kVectorEnd = (int32_t)0x80000000;
+  int64_t i = 0;
+  int64_t max_ploidy = 0;
+  for (int64_t smp = 0; smp < n_samples; ++smp) {
+    // seek to the GT subfield
+    for (int64_t f = 0; f < gt_at; ++f) {
+      while (i < len && s[i] != ':' && s[i] != '\t') ++i;
+      if (i >= len || s[i] != ':') return -1;
+      ++i;
+    }
+    int32_t* row = out + smp * cap;
+    int64_t p = 0;
+    int phase = 0;
+    if (i < len && (s[i] == '|' || s[i] == '/')) {
+      // leading separator: its phase attaches to the first allele
+      phase = (s[i] == '|');
+      ++i;
+    }
+    while (true) {
+      // one allele token: digits, or '.'/'' (missing)
+      int32_t enc;
+      if (i < len && s[i] == '.') {
+        enc = 0 | phase;
+        ++i;
+      } else if (i < len && s[i] >= '0' && s[i] <= '9') {
+        int64_t a = 0;
+        while (i < len && s[i] >= '0' && s[i] <= '9') {
+          a = a * 10 + (s[i] - '0');
+          if (a > (1 << 29)) return -1;
+          ++i;
+        }
+        enc = (int32_t)(((a + 1) << 1) | phase);
+      } else if (i >= len || s[i] == '\t' || s[i] == ':' || s[i] == '|' ||
+                 s[i] == '/') {
+        enc = 0 | phase;  // empty token
+      } else {
+        return -1;  // unexpected character in GT
+      }
+      if (p >= cap) return -1;
+      row[p++] = enc;
+      if (i >= len || s[i] == '\t' || s[i] == ':') break;
+      if (s[i] == '|' || s[i] == '/') {
+        phase = (s[i] == '|');
+        ++i;
+        continue;
+      }
+      return -1;
+    }
+    if (p > max_ploidy) max_ploidy = p;
+    // skip the rest of this sample's column
+    while (i < len && s[i] != '\t') ++i;
+    if (smp + 1 < n_samples) {
+      if (i >= len || s[i] != '\t') return -1;
+      ++i;
+    }
+    // pad the row
+    for (int64_t q = p; q < cap; ++q) row[q] = kVectorEnd;
+  }
+  if (i < len) return -1;  // trailing garbage / sample count mismatch
+  return max_ploidy;
+}
+
 // Genotype likelihoods for a batch of variants (semantics of reference
 // var_block.hpp:224-330 as mirrored by malva_tpu/models/genotype.py).
 // Bit-exactness requires libm log/exp in double with float32 operand

@@ -103,3 +103,36 @@ def test_no_gt_format_means_no_alts(tmp_path):
     reader, rec = _read_one(tmp_path, "1\t10\t.\tA\tC\t.\t.\tAF=0.5\tDP\t3\t4\t5\n")
     v = Variant(rec, reader.selected, "AF", False)
     assert not v.has_alts  # bcf_get_genotypes <= 0 (variant.hpp:169-174)
+
+
+def test_native_gt_parser_parity_irregular():
+    """Native GT parser == Python slow path on irregular FORMATs (GT with
+    siblings, GT not first, mixed ploidy, leading separator, multi-digit
+    alleles, triploid)."""
+    import numpy as np
+    import pytest
+
+    from malva_tpu.io.vcf import VcfRecord, _SelList
+    from malva_tpu.utils.native import parse_gt
+
+    cases = [
+        ("GT", "0|1\t1/1\t./."),
+        ("GT:DP", "0|1:12\t1/1:.\t.:3"),
+        ("DP:GT", "12:0|1\t.:1/1\t3:2|."),
+        ("GT", "0\t1\t0/1"),
+        ("GT", "|1\t0/1/2\t10|11"),
+        ("GT:PL", "./.:1,2\t0:9\t.|1:0"),
+    ]
+    for fmt, tail in cases:
+        n = tail.count("\t") + 1
+        rec = VcfRecord("c", 0, ".", "A", ["T"] * 12, ".", "PASS", ".", fmt, tail, n)
+        sel = _SelList(range(n))
+        gt_at = fmt.split(":").index("GT")
+        want = rec._genotypes_flat_slow(sel, gt_at)
+        got = parse_gt(tail.encode(), n, gt_at)
+        if got is None:
+            pytest.skip("native library unavailable")
+        enc, mp = got
+        flat, ploidy = want
+        assert mp == ploidy
+        np.testing.assert_array_equal(enc.reshape(-1), np.asarray(flat, np.int32))
