@@ -191,16 +191,345 @@ def make_sharded_call_step(mesh, k: int, ref_k: int, size_bits: int, n_shards: i
     return jax.jit(sharded)
 
 
+# ---------------------------------------------------------------------------
+# Routed (all_to_all) sharded step.
+#
+# The all_gather design above replicates the whole batch (and its hashing)
+# on every shard — fine at small shard counts, but per-chip work stays O(B)
+# so scaling efficiency collapses as D grows.  The routed design keeps
+# per-chip work at O(B/D): each device hashes only its own slice and the
+# k-mers travel to the shards that own their index ranges:
+#
+#   hop 1 (all_to_all): route by context-word owner; the owner probes its
+#     slice of the context filter (ctx_known);
+#   hop 2 (all_to_all): route by Bloom-word owner, carrying ctx_known; the
+#     owner resolves the rank/counter update AND the exact-map update —
+#     possible because the routed exact map is partitioned by the same
+#     Bloom-word owner (the bucket layout is an implementation choice, not
+#     reference semantics; contents stay bit-exact).
+#
+# Per-destination capacity is 2x the uniform-hash mean; if any slot
+# overflows (adversarial skew), the step falls back to the all_gather path
+# for that batch, so results never depend on the capacity.
+
+
+@dataclass
+class RoutedIndexState:
+    bf_packed: Any       # (S, W/S, 2) uint32
+    bf_counts: Any       # (S, Cmax) uint32
+    ctx_words: Any       # (S, W/S) uint32
+    kmap_keys: Any       # (S, NBs, 4*Wk) uint32 — per-shard tables
+    kmap_vals: Any       # (S, NBs*4) uint32
+    counts_len: list
+    tables: list         # per-shard host BucketTable
+    n_shards: int
+    nbs: int             # buckets per shard (uniform)
+    size_bits: int
+
+
+def shard_index_routed(index, cfg: Config, n_shards: int) -> RoutedIndexState:
+    import jax.numpy as jnp
+
+    from ..index.kmap_table import BucketTable
+    from ..ops.xxh3 import xxh3_64
+
+    S = n_shards
+    words = index.bf.words
+    W = words.shape[0]
+    assert W % S == 0
+    wps = W // S
+
+    bf_words = words.reshape(S, wps)
+    ctx_words = index.context_bf.words.reshape(S, wps)
+    pc = np.bitwise_count(bf_words).astype(np.uint32)
+    local_rank = np.zeros_like(pc)
+    local_rank[:, 1:] = np.cumsum(pc, axis=1)[:, :-1].astype(np.uint32)
+    bf_packed = np.stack([bf_words, local_rank], axis=2)
+
+    per_shard = pc.sum(axis=1).astype(np.int64)
+    cmax = max(1, int(per_shard.max()))
+    counts = np.zeros((S, cmax), dtype=np.uint32)
+    starts = np.concatenate([[0], np.cumsum(per_shard)])
+    for s in range(S):
+        counts[s, : per_shard[s]] = index.bf.counts[starts[s] : starts[s + 1]]
+
+    # exact map partitioned by Bloom-word owner of each key
+    keys = device_map_keys(index, cfg)
+    by_shard: list[list[bytes]] = [[] for _ in range(S)]
+    if keys:
+        arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, cfg.k)
+        h = xxh3_64(arr)
+        word = ((h % np.uint64(cfg.bf_size)) >> np.uint64(5)).astype(np.int64)
+        owner = word // wps
+        for kb, s in zip(keys, owner.tolist()):
+            by_shard[s].append(kb)
+    nbs = 1
+    for s in range(S):
+        t = BucketTable(by_shard[s], cfg.k)
+        nbs = max(nbs, t.n_buckets)
+    while True:  # rebuild until uniform (overflow can double one shard)
+        tables = [BucketTable(by_shard[s], cfg.k, min_buckets=nbs) for s in range(S)]
+        grown = max(t.n_buckets for t in tables)
+        if grown == nbs:
+            break
+        nbs = grown
+    for t in tables:
+        t.set_vals_from(index.ref_bf.kmers)
+    kk = np.stack([t.bucket_keys for t in tables])
+    kv = np.stack([t.vals for t in tables])
+
+    return RoutedIndexState(
+        bf_packed=jnp.asarray(bf_packed),
+        bf_counts=jnp.asarray(counts),
+        ctx_words=jnp.asarray(ctx_words),
+        kmap_keys=jnp.asarray(kk),
+        kmap_vals=jnp.asarray(kv),
+        counts_len=per_shard.tolist(),
+        tables=tables,
+        n_shards=S,
+        nbs=nbs,
+        size_bits=cfg.bf_size,
+    )
+
+
+def write_back_routed(state: RoutedIndexState, index) -> None:
+    counts = np.asarray(state.bf_counts)
+    index.bf.counts = np.concatenate(
+        [counts[s, : state.counts_len[s]] for s in range(state.n_shards)]
+    )
+    vals = np.asarray(state.kmap_vals)
+    for s, t in enumerate(state.tables):
+        t.write_back(vals[s], index.ref_bf.kmers)
+
+
+def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
+                          n_shards: int, nbs: int, slice_b: int):
+    """Routed multi-device call step (see module section comment).
+
+    step(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
+         contexts, counters) with the batch sharded along axis 0
+    ((S*slice_b, ref_k) global); returns updated (bf_counts, kmap_vals).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    off = (ref_k - k) // 2
+    w_k = (k + 15) // 16
+    W_total = size_bits // 32
+    wps = W_total // n_shards
+    D = n_shards
+    # per-(src,dst) slot capacity: 2x the uniform mean, lane-aligned
+    cap = max(128, (2 * slice_b + D - 1) // D)
+    F = 7 + w_k  # payload u32 columns
+
+    def pack_dests(owner, payload, valid):
+        """Sort lanes by owner and scatter into (D*cap, F) slot matrix.
+        Returns (slots, overflow) — slots row d*cap+r holds the r-th item
+        destined to shard d; invalid slots have flags column 0."""
+        b = owner.shape[0]
+        key = jnp.where(valid, owner, jnp.int32(D)).astype(jnp.uint32)
+        lane = jnp.arange(b, dtype=jnp.int32)
+        sk, perm = lax.sort((key, lane), num_keys=1)
+        sorted_payload = jnp.take(payload, perm, axis=0)
+        # rank within destination: position - first position of this key
+        first = jnp.concatenate(
+            [jnp.zeros(1, bool), sk[1:] != sk[:-1]]
+        )
+        pos = jnp.arange(b, dtype=jnp.int32)
+        start_of_key = jnp.where(first, pos, 0)
+        start_of_key = jax.lax.associative_scan(jnp.maximum, start_of_key)
+        rank = pos - start_of_key
+        ok = (sk < D) & (rank < cap)
+        overflow = jnp.any((sk < jnp.uint32(D)) & (rank >= cap))
+        tgt = jnp.where(ok, sk.astype(jnp.int32) * cap + rank, jnp.int32(D * cap))
+        slots = jnp.zeros((D * cap, F), jnp.uint32).at[tgt].set(
+            sorted_payload, mode="drop"
+        )
+        return slots, overflow
+
+    def routed(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
+               contexts, counters):
+        my = jax.lax.axis_index("shard")
+        b = contexts.shape[0]
+
+        # hash own slice once (the whole point vs the all_gather design)
+        cc = seq.canonical_jax(contexts[:, off : off + k])
+        ch = xxh3_64_jax(cc)
+        bw, bb = xxh3_mod_size(ch, size_bits)
+        ctx_hash = xxh3_64_jax(contexts)
+        cw, cb = xxh3_mod_size(ctx_hash, size_bits)
+        packed = pack2bit_jax(cc, k)
+        bucket = (ch[:, 1] ^ ch[:, 0]) & jnp.uint32(nbs - 1)
+
+        valid = counters > 0
+        flags = valid.astype(jnp.uint32)  # bit0 valid
+        payload = jnp.stack(
+            [flags,
+             (cw - (cw // wps) * wps).astype(jnp.uint32),  # local ctx word
+             cb.astype(jnp.uint32),
+             bw.astype(jnp.uint32), bb.astype(jnp.uint32),
+             counters.astype(jnp.uint32), bucket]
+            + [packed[:, j] for j in range(w_k)], axis=1,
+        )
+        slots1, ovf1 = pack_dests((cw // wps).astype(jnp.int32), payload, valid)
+        slots1 = lax.all_to_all(slots1, "shard", split_axis=0, concat_axis=0,
+                                tiled=True)
+
+        # hop-1 owner: probe local context-filter range
+        p_flags = slots1[:, 0]
+        p_valid = (p_flags & jnp.uint32(1)).astype(bool)
+        lcw = slots1[:, 1].astype(jnp.int32)
+        wv = jnp.take(ctx_words, jnp.clip(lcw, 0, wps - 1), axis=0)
+        known = ((wv >> slots1[:, 2]) & jnp.uint32(1)).astype(bool) & p_valid
+        flags2 = p_flags | (known.astype(jnp.uint32) << 1)
+        payload2 = slots1.at[:, 0].set(flags2)
+
+        # hop 2: route by Bloom-word owner
+        bw2 = payload2[:, 3].astype(jnp.int32)
+        slots2, ovf2 = pack_dests(bw2 // wps, payload2, p_valid)
+        slots2 = lax.all_to_all(slots2, "shard", split_axis=0, concat_axis=0,
+                                tiled=True)
+
+        q_flags = slots2[:, 0]
+        q_valid = (q_flags & jnp.uint32(1)).astype(bool)
+        q_known = ((q_flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
+        lbw = slots2[:, 3].astype(jnp.int32) - my * wps
+        row = jnp.take(bf_packed, jnp.clip(lbw, 0, wps - 1), axis=0)
+        word = row[:, 0]
+        bbu = slots2[:, 4]
+        is_set = ((word >> bbu) & jnp.uint32(1)).astype(bool)
+        below = word & ((jnp.uint32(1) << bbu) - jnp.uint32(1))
+        cnt_idx = (row[:, 1] + jax.lax.population_count(below)).astype(jnp.int32)
+        q_counter = slots2[:, 5]
+        upd = q_valid & is_set & ~q_known
+        bf_counts = scatter_add_u32(bf_counts, cnt_idx, q_counter, upd)
+
+        q_packed = slots2[:, 7 : 7 + w_k]
+        q_bucket = slots2[:, 6].astype(jnp.int32)
+        rows = jnp.take(kmap_keys, jnp.clip(q_bucket, 0, nbs - 1), axis=0)
+        found = jnp.zeros(rows.shape[0], dtype=bool)
+        slot = jnp.zeros(rows.shape[0], dtype=jnp.int32)
+        for s in range(SLOTS):
+            eq = jnp.ones(rows.shape[0], dtype=bool)
+            for j in range(w_k):
+                eq = eq & (rows[:, s * w_k + j] == q_packed[:, j])
+            slot = jnp.where(eq & ~found, q_bucket * SLOTS + s, slot)
+            found = found | eq
+        kmap_vals = scatter_add_u32(kmap_vals, slot, q_counter, found & q_valid)
+        return bf_counts, kmap_vals, ovf1 | ovf2
+
+    def gather_fallback(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
+                        contexts, counters):
+        """all_gather variant over the routed layout (kmap partitioned by
+        Bloom-word owner) — overflow escape hatch, rare by construction."""
+        my = jax.lax.axis_index("shard")
+        contexts = jax.lax.all_gather(contexts, "shard", axis=0, tiled=True)
+        counters = jax.lax.all_gather(counters, "shard", axis=0, tiled=True)
+
+        ctx_hash = xxh3_64_jax(contexts)
+        cw, cb = xxh3_mod_size(ctx_hash, size_bits)
+        lcw = cw - my * wps
+        cmine = (lcw >= 0) & (lcw < wps)
+        wv = jnp.take(ctx_words, jnp.clip(lcw, 0, wps - 1), axis=0)
+        hit_local = cmine & (((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool))
+        ctx_known = jax.lax.psum(hit_local.astype(jnp.int32), "shard") > 0
+
+        cc = seq.canonical_jax(contexts[:, off : off + k])
+        ch = xxh3_64_jax(cc)
+        bw, bb = xxh3_mod_size(ch, size_bits)
+        lbw = bw - my * wps
+        bmine = (lbw >= 0) & (lbw < wps)
+        row = jnp.take(bf_packed, jnp.clip(lbw, 0, wps - 1), axis=0)
+        word = row[:, 0]
+        bbu = bb.astype(jnp.uint32)
+        is_set = ((word >> bbu) & jnp.uint32(1)).astype(bool)
+        below = word & ((jnp.uint32(1) << bbu) - jnp.uint32(1))
+        cnt_idx = (row[:, 1] + jax.lax.population_count(below)).astype(jnp.int32)
+        upd = bmine & (~ctx_known) & is_set
+        bf_counts = scatter_add_u32(bf_counts, cnt_idx, counters, upd)
+
+        packed = pack2bit_jax(cc, k)
+        bucket = ((ch[:, 1] ^ ch[:, 0]) & jnp.uint32(nbs - 1)).astype(jnp.int32)
+        rows = jnp.take(kmap_keys, bucket, axis=0)
+        found = jnp.zeros(packed.shape[0], dtype=bool)
+        slot = jnp.zeros(packed.shape[0], dtype=jnp.int32)
+        for s in range(SLOTS):
+            eq = jnp.ones(packed.shape[0], dtype=bool)
+            for j in range(w_k):
+                eq = eq & (rows[:, s * w_k + j] == packed[:, j])
+            slot = jnp.where(eq & ~found, bucket * SLOTS + s, slot)
+            found = found | eq
+        kmap_vals = scatter_add_u32(kmap_vals, slot, counters, found & bmine)
+        return bf_counts, kmap_vals
+
+    def step(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
+             contexts, counters):
+        new_counts, new_vals, ovf = routed(
+            bf_packed[0], bf_counts[0], ctx_words[0], kmap_keys[0],
+            kmap_vals[0], contexts, counters,
+        )
+        any_ovf = jax.lax.psum(ovf.astype(jnp.int32), "shard") > 0
+        # on capacity overflow (adversarial skew) the routed attempt is
+        # discarded; the host reruns the batch through the gather fallback
+        new_counts = jnp.where(any_ovf, bf_counts[0], new_counts)
+        new_vals = jnp.where(any_ovf, kmap_vals[0], new_vals)
+        return new_counts[None], new_vals[None], jnp.broadcast_to(any_ovf, (1,))
+
+    def fb_step(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
+                contexts, counters):
+        c, v = gather_fallback(
+            bf_packed[0], bf_counts[0], ctx_words[0], kmap_keys[0],
+            kmap_vals[0], contexts, counters,
+        )
+        return c[None], v[None]
+
+    routed_j = jax.jit(shard_map(
+        step, mesh=mesh, in_specs=(P("shard"),) * 7,
+        out_specs=(P("shard"), P("shard"), P("shard")), check_rep=False,
+    ))
+    fallback_j = jax.jit(shard_map(
+        fb_step, mesh=mesh, in_specs=(P("shard"),) * 7,
+        out_specs=(P("shard"), P("shard")), check_rep=False,
+    ))
+
+    def run(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
+            contexts, counters):
+        new_counts, new_vals, ovf = routed_j(
+            bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
+            contexts, counters,
+        )
+        if bool(np.asarray(ovf).any()):
+            return fallback_j(
+                bf_packed, new_counts, ctx_words, kmap_keys, new_vals,
+                contexts, counters,
+            )
+        return new_counts, new_vals
+
+    return run
+
+
 def apply_sample_counts_sharded(
-    index, contexts: np.ndarray, counters: np.ndarray, cfg: Config, mesh, batch: int = 1 << 20
+    index, contexts: np.ndarray, counters: np.ndarray, cfg: Config, mesh,
+    batch: int = 1 << 20, routed: bool = True,
 ) -> None:
     """Multi-device equivalent of pipeline.apply_sample_counts."""
     S = mesh.devices.size
-    state = shard_index(index, cfg, S)
-    step = make_sharded_call_step(mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, state.n_buckets)
-    bf_counts, kmap_vals = state.bf_counts, state.kmap_vals
     n = contexts.shape[0]
     batch = max(batch - batch % S, S)
+    if routed:
+        state = shard_index_routed(index, cfg, S)
+        slice_b = min(batch, max(S, n + (-n) % S)) // S
+        step = make_routed_call_step(
+            mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, state.nbs, slice_b
+        )
+        batch = slice_b * S
+    else:
+        state = shard_index(index, cfg, S)
+        step = make_sharded_call_step(mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, state.n_buckets)
+    bf_counts, kmap_vals = state.bf_counts, state.kmap_vals
     for start in range(0, max(n, 1), batch):
         chunk = contexts[start : start + batch]
         cnts = counters[start : start + batch].astype(np.uint32)
@@ -210,8 +539,15 @@ def apply_sample_counts_sharded(
             pad = (S - chunk.shape[0] % S) % S if chunk.shape[0] % S else batch - chunk.shape[0]
             chunk = np.concatenate([chunk, np.full((pad, cfg.ref_k), ord("A"), np.uint8)])
             cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
+        if routed and chunk.shape[0] != batch:
+            pad = batch - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.full((pad, cfg.ref_k), ord("A"), np.uint8)])
+            cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
         bf_counts, kmap_vals = step(
             state.bf_packed, bf_counts, state.ctx_words, state.kmap_keys, kmap_vals, chunk, cnts
         )
     state.bf_counts, state.kmap_vals = bf_counts, kmap_vals
-    write_back(state, index)
+    if routed:
+        write_back_routed(state, index)
+    else:
+        write_back(state, index)

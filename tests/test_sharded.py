@@ -28,8 +28,8 @@ def _index(cfg, seed=0):
     return Index(bf=bf, ref_bf=ref_bf, context_bf=ctx), (alt, ref, ctxk)
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
-def test_sharded_call_parity(n_dev):
+@pytest.mark.parametrize("n_dev,routed", [(2, False), (8, False), (2, True), (8, True)])
+def test_sharded_call_parity(n_dev, routed):
     import jax
 
     if len(jax.devices()) < n_dev:
@@ -52,8 +52,41 @@ def test_sharded_call_parity(n_dev):
 
     apply_sample_counts(host_idx, contexts, counters, cfg)
     mesh = make_mesh(n_dev)
-    apply_sample_counts_sharded(shard_idx, contexts, counters, cfg, mesh, batch=1024)
+    apply_sample_counts_sharded(
+        shard_idx, contexts, counters, cfg, mesh, batch=1024, routed=routed
+    )
 
+    np.testing.assert_array_equal(host_idx.bf.counts, np.asarray(shard_idx.bf.counts))
+    assert host_idx.ref_bf.kmers == shard_idx.ref_bf.kmers
+
+
+def test_routed_overflow_falls_back(monkeypatch):
+    """Adversarial skew (every k-mer hashing to one shard's ranges, forced
+    via identical contexts) overflows the routing capacity; the batch must
+    rerun through the all_gather fallback with identical results."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg = Config(k=35, ref_k=43, bf_size=1 << 20)
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    host_idx, (alt, ref, ctxk) = _index(cfg)
+    shard_idx, _ = _index(cfg)
+
+    from malva_tpu.ops.seq import canonical
+
+    one = alpha[rng.integers(0, 4, size=(1, cfg.ref_k))]
+    one[:, 4:39] = alt[:1]
+    one = canonical(one)  # sample streams are canonical (KMC contract)
+    contexts = np.repeat(one, 2048, axis=0)
+    counters = np.ones(2048, np.uint32)
+
+    apply_sample_counts(host_idx, contexts, counters, cfg)
+    mesh = make_mesh(8)
+    apply_sample_counts_sharded(
+        shard_idx, contexts, counters, cfg, mesh, batch=2048, routed=True
+    )
     np.testing.assert_array_equal(host_idx.bf.counts, np.asarray(shard_idx.bf.counts))
     assert host_idx.ref_bf.kmers == shard_idx.ref_bf.kmers
 
