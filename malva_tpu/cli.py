@@ -40,6 +40,8 @@ def _parser(prog: str) -> argparse.ArgumentParser:
                         help="treat <sample> as kmc_dump text (KMER<TAB>COUNT)")
         sp.add_argument("--malvax", action="store_true",
                         help="read/write the reference .malvax.zst index format")
+        sp.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace into this directory")
         sp.add_argument("reference")
         sp.add_argument("variants")
         if name == "batch":
@@ -75,6 +77,15 @@ def main(argv: list[str] | None = None) -> int:
     args = _parser("malva-tpu").parse_args(argv)
     cfg = _config(args)
     timer = PhaseTimer()
+
+    if args.profile_dir:
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+        atexit.register(jax.profiler.stop_trace)
+        print(f"[malva-tpu] jax.profiler trace -> {args.profile_dir}", file=sys.stderr)
 
     if args.cmd == "index":
         index = build_index(cfg, timer)

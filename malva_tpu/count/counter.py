@@ -130,15 +130,17 @@ def count_reads_kmers(
     start_batch = 0
 
     device_steps: dict[int, object] = {}
+    _SEP = np.full(1, 0xFF, dtype=np.uint8)  # read separator: invalidates
+    # any window crossing a read boundary (non-ACGT, like KMC's skip rule)
 
     def _device_step_for(m: int):
         """Step sized to the workload (pow2-bucketed to bound recompiles) —
         a fixed-size step would pad tiny flushes to chunk_kmers lanes."""
-        from .device_count import make_sort_count_step
+        from .device_count import make_seq_sort_count_step
 
         size = min(1 << max(12, (max(m, 1) - 1).bit_length()), chunk_kmers)
         if size not in device_steps:
-            device_steps[size] = make_sort_count_step(ref_k, size)
+            device_steps[size] = make_seq_sort_count_step(ref_k, size)
         return size, device_steps[size]
 
     if checkpoint is not None and os.path.exists(checkpoint):
@@ -163,14 +165,16 @@ def count_reads_kmers(
         pending = []
         pending_n = 0
         if use_device:
-            from .device_count import device_sorted_counts
+            # block = joined raw read bytes (1 B/base to the device);
+            # windows are built on-device (device_count module doc)
+            from .device_count import device_seq_sorted_counts
 
-            for start in range(0, block.shape[0], chunk_kmers):
-                piece = block[start : start + chunk_kmers]
-                size, step = _device_step_for(piece.shape[0])
-                for s2 in range(0, piece.shape[0], size):
-                    sub = piece[s2 : s2 + size]
-                    keys, cnts = device_sorted_counts(step, sub, size, ref_k)
+            n_pos = block.shape[0] - ref_k + 1
+            for start in range(0, max(n_pos, 0), chunk_kmers):
+                size, step = _device_step_for(min(chunk_kmers, n_pos - start))
+                for s2 in range(start, min(start + chunk_kmers, n_pos), size):
+                    piece = block[s2 : s2 + size + ref_k - 1]
+                    keys, cnts = device_seq_sorted_counts(step, piece, size, ref_k)
                     acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
             return
         packed = pack_2bit(canonical(block))
@@ -193,16 +197,25 @@ def count_reads_kmers(
         if batch_i < start_batch:
             continue
         for seq in batch:
-            w = _windows_of_read(seq, ref_k)
-            if w.shape[0]:
-                pending.append(w)
-                pending_n += w.shape[0]
-                total_windows += w.shape[0]
+            if use_device:
+                a = upper(np.frombuffer(seq, dtype=np.uint8))
+                if a.shape[0] >= ref_k:
+                    pending.append(a)
+                    pending.append(_SEP)
+                    pending_n += a.shape[0]
+            else:
+                w = _windows_of_read(seq, ref_k)
+                if w.shape[0]:
+                    pending.append(w)
+                    pending_n += w.shape[0]
+                    total_windows += w.shape[0]
             if pending_n >= chunk_kmers:
                 flush()
         if checkpoint is not None and (batch_i + 1) % checkpoint_every_batches == 0:
             save_checkpoint(batch_i + 1)
     flush()
+    if use_device:
+        total_windows = int(acc_cnts.sum())
     if checkpoint is not None and os.path.exists(checkpoint):
         os.remove(checkpoint)
 

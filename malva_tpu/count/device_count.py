@@ -46,6 +46,90 @@ def make_sort_count_step(ref_k: int, batch: int):
     return step
 
 
+def make_seq_sort_count_step(ref_k: int, chunk: int):
+    """Sort-count step over a RAW sequence chunk: windows are built on
+    device (k-merization included), so the host uploads 1 byte/base
+    instead of ref_k bytes/base.  Reads are joined with a separator byte
+    (0xFF) on the host; any window crossing a read boundary contains the
+    separator and is dropped by the same pure-ACGT validity test KMC
+    applies (SURVEY.md §7 semantics 6).
+
+    step(seq (chunk+ref_k-1,) uint8, n_valid) -> (sorted_packed, boundary)
+    with invalid/padding lanes forced to the all-ones sentinel row."""
+    import jax
+    import jax.numpy as jnp
+
+    if ref_k % 16 == 0:
+        raise ValueError("device counting requires ref_k % 16 != 0 (sentinel row)")
+    w = (ref_k + 15) // 16
+
+    @jax.jit
+    def step(seq_chunk, n_valid):
+        cols = [
+            jax.lax.dynamic_slice(seq_chunk, (j,), (chunk,)) for j in range(ref_k)
+        ]
+        win = jnp.stack(cols, axis=1)  # (chunk, ref_k)
+        ok = jnp.ones(chunk, dtype=bool)
+        for j in range(ref_k):
+            c = cols[j]
+            ok = ok & ((c == 65) | (c == 67) | (c == 71) | (c == 84))
+        lane = jnp.arange(chunk, dtype=jnp.int32)
+        ok = ok & (lane < n_valid)
+        canon = seq.canonical_jax(win)
+        packed = pack2bit_jax(canon, ref_k)
+        packed = jnp.where(ok[:, None], packed, jnp.uint32(0xFFFFFFFF))
+        cols2 = [packed[:, j] for j in range(w)]
+        sorted_cols = jax.lax.sort(tuple(cols2), num_keys=w)
+        s = jnp.stack(sorted_cols, axis=1)
+        boundary = jnp.concatenate(
+            [jnp.ones(1, bool), jnp.any(s[1:] != s[:-1], axis=1)]
+        )
+        return s, boundary
+
+    return step
+
+
+def device_seq_sorted_counts(step, seq: np.ndarray, chunk: int, ref_k: int):
+    """Run one raw-sequence chunk through the seq step; returns
+    (keys_u64, counts) in counter._merge_runs layout.  ``seq`` holds up to
+    chunk + ref_k - 1 bytes; windows at positions >= len(seq)-ref_k+1 are
+    masked out."""
+    n_pos = seq.shape[0] - ref_k + 1
+    w64 = (ref_k + 31) // 32
+    if n_pos <= 0:
+        return np.zeros((0, w64), dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    if seq.shape[0] < chunk + ref_k - 1:
+        seq = np.concatenate(
+            [seq, np.full(chunk + ref_k - 1 - seq.shape[0], 0xFF, dtype=np.uint8)]
+        )
+    s, boundary = step(seq, n_pos)
+    return _compact_runs(np.asarray(s), np.asarray(boundary), ref_k)
+
+
+def _compact_runs(s: np.ndarray, boundary: np.ndarray, ref_k: int):
+    """Shared tail of the device count steps: run-length compact sorted
+    packed rows, drop the all-ones sentinel, repack to uint64 words."""
+    w64 = (ref_k + 31) // 32
+    starts = np.nonzero(boundary)[0]
+    ends = np.concatenate([starts[1:], [s.shape[0]]])
+    keys32 = s[starts]
+    counts = (ends - starts).astype(np.int64)
+    real = ~np.all(keys32 == np.uint32(0xFFFFFFFF), axis=1)
+    keys32 = keys32[real]
+    counts = counts[real]
+    m, w = keys32.shape
+    out = np.zeros((m, w64), dtype=np.uint64)
+    for j in range(w64):
+        hi = keys32[:, 2 * j].astype(np.uint64)
+        lo = (
+            keys32[:, 2 * j + 1].astype(np.uint64)
+            if 2 * j + 1 < w
+            else np.zeros(m, np.uint64)
+        )
+        out[:, j] = (hi << np.uint64(32)) | lo
+    return out, counts
+
+
 def device_sorted_counts(step, windows: np.ndarray, batch: int, ref_k: int):
     """Run one padded batch through the step; return (keys_u64, counts)
     compatible with counter._merge_runs (uint64 word layout)."""

@@ -386,6 +386,11 @@ def call_batch(
     for sample_path, out in zip(sample_paths, outs):
         _reset_counters(index)
         contexts, counts = _sample_kmers(cfg, sample_path)
-        apply_sample_counts(index, contexts, counts, cfg)
+        if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
+            from .index.device import apply_sample_counts_device
+
+            apply_sample_counts_device(index, contexts, counts, cfg)
+        else:
+            apply_sample_counts(index, contexts, counts, cfg)
         _genotype_and_emit(cfg, index, refs, out, timer)
         timer.pelapsed(f"Sample done: {sample_path}")

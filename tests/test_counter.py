@@ -139,3 +139,24 @@ def test_device_counter_matches_host(tmp_path):
     dev_k, dev_c = count_reads_kmers(str(fq), 43, use_device=True, chunk_kmers=512)
     np.testing.assert_array_equal(dev_k, host_k)
     np.testing.assert_array_equal(dev_c, host_c)
+
+
+def test_device_seq_counter_hard_cases(tmp_path):
+    """Device (raw-sequence) counting == host path on lowercase reads,
+    in-read Ns, reads shorter than ref_k, and multi-chunk streaming."""
+    import numpy as np
+
+    from malva_tpu.count.counter import count_reads_kmers
+
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b"ACGTNacgtn", dtype=np.uint8)
+    fq = tmp_path / "r.fa"
+    with open(fq, "wb") as f:
+        for i in range(120):
+            L = int(rng.integers(5, 200))
+            s = bytes(alpha[rng.integers(0, 10, size=L)])
+            f.write(b">r%d\n%s\n" % (i, s))
+    host_k, host_c = count_reads_kmers(str(fq), 43, ci=1)
+    dev_k, dev_c = count_reads_kmers(str(fq), 43, ci=1, use_device=True, chunk_kmers=256)
+    np.testing.assert_array_equal(dev_k, host_k)
+    np.testing.assert_array_equal(dev_c, host_c)
