@@ -23,6 +23,7 @@ is the same uint32 math.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -136,10 +137,13 @@ class DeviceIndex:
 
     def write_back(self, index) -> None:
         """Fold device counter state back into the host index."""
-        index.bf.counts = np.asarray(self.bf_counts)
+        # np.array (not asarray): jax arrays view as read-only numpy, but
+        # the host counters must stay writable (batch mode zeroes them)
+        index.bf.counts = np.array(self.bf_counts)
         self.table.write_back(np.asarray(self.kmap_vals), index.ref_bf.kmers)
 
 
+@functools.lru_cache(maxsize=None)
 def make_call_step(k: int, ref_k: int, size_bits: int, n_buckets: int,
                    minifilter: bool = False):
     """Build the jitted fused query/update step (full-batch variant).
@@ -191,6 +195,7 @@ def make_call_step(k: int, ref_k: int, size_bits: int, n_buckets: int,
     return step
 
 
+@functools.lru_cache(maxsize=None)
 def make_call_step_compact(k: int, ref_k: int, size_bits: int, n_buckets: int,
                            batch: int, cap: int | None = None,
                            minifilter: bool = True):
@@ -457,22 +462,36 @@ def build_context_device(
 
 
 def apply_sample_counts_device(
-    index, contexts: np.ndarray, counters: np.ndarray, cfg: Config, batch: int = 1 << 20
+    index, contexts: np.ndarray, counters: np.ndarray, cfg: Config, batch: int = 1 << 20,
+    dev: "DeviceIndex | None" = None,
 ) -> None:
     """Device equivalent of pipeline.apply_sample_counts: stream the
     distinct sample contexts through the fused step, then fold the counter
-    state back into the host index."""
-    dev = DeviceIndex.from_host(index, cfg)
+    state back into the host index.
+
+    Pass a prebuilt ``dev`` to reuse the uploaded index across samples
+    (batch genotyping): only the counter state is fresh per call — the
+    caller must have zeroed the host counters (pipeline._reset_counters),
+    which makes the initial device state all-zeros."""
+    import jax.numpy as jnp
+
+    if dev is None:
+        dev = DeviceIndex.from_host(index, cfg)
+        state = jnp.concatenate([dev.bf_counts, dev.kmap_vals])
+    else:
+        # reused device index: counter state restarts from the HOST
+        # counters (dev's arrays hold the previous sample's counts)
+        dev.table.set_vals_from(index.ref_bf.kmers)
+        state = jnp.concatenate([
+            jnp.asarray(index.bf.counts), jnp.asarray(dev.table.vals)
+        ])
     n = contexts.shape[0]
     eff_batch = max(1, min(n, batch))
     step = make_call_step_compact(
         cfg.k, cfg.ref_k, dev.size_bits, dev.n_buckets, eff_batch,
         minifilter=dev.minifilter,
     )
-    import jax.numpy as jnp
-
-    counts_len = dev.bf_counts.shape[0]
-    state = jnp.concatenate([dev.bf_counts, dev.kmap_vals])
+    counts_len = int(index.bf.counts.shape[0])
     for start in range(0, max(n, 1), batch):
         chunk = contexts[start : start + batch]
         cnts = counters[start : start + batch].astype(np.uint32)

@@ -156,7 +156,12 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
     ref_bytes_cache: dict[int, bytes] = {}
     n_vars = 0
     for vb, ref in _iter_blocks(cfg, refs, keep_absent=False, used_out=used_names, timer=timer):
-        ref_bytes = ref_bytes_cache.setdefault(id(ref), ref.tobytes()) if ref is not None else b""
+        # NOTE: setdefault would re-run tobytes() (a full contig copy)
+        # on every block even on cache hits — 30 MB x one block per
+        # sparse variant adds up to terabytes on chr-scale VCFs.
+        ref_bytes = b"" if ref is None else ref_bytes_cache.get(id(ref))
+        if ref_bytes is None:
+            ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
         kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
         n_vars += len(vb.variants)
         # add_kmers_to_bf (main.cpp:122-144)
@@ -351,7 +356,12 @@ def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) 
     ref_bytes_cache: dict[int, bytes] = {}
     n = 0
     for vb, ref in _iter_blocks(cfg, refs, keep_absent=True):
-        ref_bytes = ref_bytes_cache.setdefault(id(ref), ref.tobytes()) if ref is not None else b""
+        # NOTE: setdefault would re-run tobytes() (a full contig copy)
+        # on every block even on cache hits — 30 MB x one block per
+        # sparse variant adds up to terabytes on chr-scale VCFs.
+        ref_bytes = b"" if ref is None else ref_bytes_cache.get(id(ref))
+        if ref_bytes is None:
+            ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
         kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
         _set_coverages(index, vb, kmers)
         genotype_block(vb.variants, cfg.max_coverage, cfg.haploid, cfg.error_rate)
@@ -383,13 +393,16 @@ def call_batch(
     timer = timer or PhaseTimer()
     refs = load_reference(cfg.fasta_path, cfg.strip_chr)
     timer.pelapsed("Reference processed")
+    dev = None  # device index uploaded once, reused across samples
     for sample_path, out in zip(sample_paths, outs):
         _reset_counters(index)
         contexts, counts = _sample_kmers(cfg, sample_path)
         if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
-            from .index.device import apply_sample_counts_device
+            from .index.device import DeviceIndex, apply_sample_counts_device
 
-            apply_sample_counts_device(index, contexts, counts, cfg)
+            if dev is None:
+                dev = DeviceIndex.from_host(index, cfg)
+            apply_sample_counts_device(index, contexts, counts, cfg, dev=dev)
         else:
             apply_sample_counts(index, contexts, counts, cfg)
         _genotype_and_emit(cfg, index, refs, out, timer)

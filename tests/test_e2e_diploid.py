@@ -54,6 +54,27 @@ def test_batch_matches_independent_calls(tmp_path):
 
 
 @pytest.mark.slow
+def test_batch_device_backend_reuses_index(tmp_path):
+    """Device-backend batch genotyping (one uploaded index, counter state
+    rebuilt from host per sample) == golden for every sample."""
+    from malva_tpu.pipeline import call_batch
+
+    cfg = Config(
+        fasta_path=os.path.join(D, "ref.fa"),
+        vcf_path=os.path.join(D, "vars.vcf"),
+        sample_path=os.path.join(D, "reads.fa"),
+        bf_size=Config.bf_gb_to_bits(1),
+        backend="device",
+    )
+    index = build_index(cfg)
+    o1, o2 = io.StringIO(), io.StringIO()
+    call_batch(cfg, index, [os.path.join(D, "reads.fa")] * 2, [o1, o2])
+    golden = open(os.path.join(D, "golden.vcf")).read()
+    assert o1.getvalue() == golden
+    assert o2.getvalue() == golden
+
+
+@pytest.mark.slow
 def test_device_backend_end_to_end():
     """Full pipeline with backend='device' (device ref scan via Pallas
     interpret + device call step) == golden, validating the integration
