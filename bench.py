@@ -2,15 +2,20 @@
 """Headline benchmark: sample k-mers queried/sec/chip through the fused
 call-phase step (hot loop D — SURVEY.md §3.5, BASELINE.md north star).
 
-Runs on whatever jax platform the environment provides (the real TPU
-under the driver).  The index is synthesized on device (no host->device
-bulk transfer in the timed region); the batch of contexts is generated
-on device per iteration from a counter-based PRNG.
+Default mode "wgs" models a 30x whole-genome index: 1 GiB Bloom filter at
+~1.6e-2 set-bit density (AND of 6 random words) and a 10M-key exact map —
+the cache-hostile regime a real cohort run sees.  MALVA_BENCH_MODE=sparse
+reproduces the round-1 synthetic (~3e-6 fill, 1M keys).
+
+The index is synthesized on device (no bulk host->device transfer in the
+timed region except the one-time bucket-table upload); each iteration's
+2M packed contexts come from a counter-based PRNG on device.
 
 Baseline: a single-thread C++ replica of the reference's per-k-mer work
-(canonicalization + XXH3 + Bloom probes + rank/counter + hashmap lookup),
-compiled on this machine against the reference's vendored xxhash.c —
-i.e. what the original CPU pipeline can do per core here.
+(canonicalization + XXH3 + Bloom probes + rank/counter + hashmap lookup)
+built with the SAME fill/kmap parameters, compiled on this machine
+against the reference's vendored xxhash.c — i.e. what the original CPU
+pipeline can do per core here.  vs_baseline = TPU rate / that.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,14 +30,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+MODE = os.environ.get("MALVA_BENCH_MODE", "wgs")
 LOG2_BITS = int(os.environ.get("MALVA_BENCH_LOG2_BITS", "33"))  # 1 GiB filter
 BATCH = int(os.environ.get("MALVA_BENCH_BATCH", str(1 << 21)))
 ITERS = int(os.environ.get("MALVA_BENCH_ITERS", "10"))
+N_AND = 6 if MODE == "wgs" else 0          # bit density 2^-6 ~ 1.6e-2
+KMAP_KEYS = (10_000_000 if MODE == "wgs" else 1_000_000)
 
 
 def cpu_baseline() -> float:
-    """kmers/s of the reference-equivalent loop, single CPU thread."""
-    exe = "/tmp/malva_ref_hotloop"
+    """kmers/s of the reference-equivalent loop, single CPU thread, same
+    fill + kmap size as the device run."""
+    exe = f"/tmp/malva_ref_hotloop_{N_AND}_{KMAP_KEYS}"
     src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native", "ref_hotloop.cpp")
     xxh = "/root/reference/xxhash.c"
     if not os.path.exists(xxh):
@@ -44,8 +53,8 @@ def cpu_baseline() -> float:
                 check=True, capture_output=True, timeout=180,
             )
         out = subprocess.run(
-            [exe, str(min(LOG2_BITS, 33)), str(1 << 20), "3"],
-            check=True, capture_output=True, timeout=600, text=True,
+            [exe, str(min(LOG2_BITS, 33)), str(1 << 20), "3", str(N_AND), str(KMAP_KEYS)],
+            check=True, capture_output=True, timeout=900, text=True,
         ).stdout
         for line in out.splitlines():
             if line.startswith("kmers_per_sec="):
@@ -64,71 +73,94 @@ def main() -> None:
         pass
     import jax.numpy as jnp
 
-    from malva_tpu.index.device import RANK_BITS, _minifilter_slot_np, make_call_step_compact
+    from malva_tpu.index.device import RANK_BITS, make_call_step_packed
+    from malva_tpu.index.kmap_table import BucketTable
     from malva_tpu.ops.xxh3 import xxh3_64
 
     dev = jax.devices()[0]
-    print(f"[bench] device: {dev}", file=sys.stderr)
+    print(f"[bench] device: {dev}, mode: {MODE}", file=sys.stderr)
 
     size_bits = 1 << LOG2_BITS
     nwords = size_bits // 32
-    key = jax.random.PRNGKey(0)
 
-    # synthetic exact-map: 1M random keys in the 4-way bucket table
+    # exact map: KMAP_KEYS random ACGT 35-mers -> host bucket table
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
-    from malva_tpu.index.kmap_table import BucketTable
+    t0 = time.perf_counter()
+    key_arr = alpha[rng.integers(0, 4, size=(KMAP_KEYS, 35))]
+    h = xxh3_64(key_arr)
+    from malva_tpu.index.device import pack2bit_u32_np
 
-    key_arr = alpha[rng.integers(0, 4, size=(1 << 20, 35))]
-    keys = [key_arr[i].tobytes() for i in range(key_arr.shape[0])]
-    keys = list(dict.fromkeys(keys))
-    table = BucketTable(keys, 35)
+    table = BucketTable.from_packed(pack2bit_u32_np(key_arr, 35), h, 35)
+    print(f"[bench] kmap table: {KMAP_KEYS} keys, {table.n_buckets} buckets "
+          f"({time.perf_counter()-t0:.1f}s host build)", file=sys.stderr)
     kmap_keys = jnp.asarray(table.bucket_keys)
+    kv_len = table.vals.shape[0]
 
-    # exact-map mini-filter words (rank top bits), as DeviceIndex.from_host builds
-    arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 35)
-    h = xxh3_64(arr)
-    word_idx = ((h % np.uint64(size_bits)) >> np.uint64(5)).astype(np.int64)
-    mf_np = np.zeros(nwords, dtype=np.uint32)
-    np.bitwise_or.at(mf_np, word_idx, np.uint32(1) << _minifilter_slot_np(h))
-    mf = jnp.asarray(mf_np)
-    del mf_np
+    # key hashes -> device, for the on-device mini-filter build
+    key_h = jnp.asarray(
+        np.stack([(h >> np.uint64(32)).astype(np.uint32),
+                  (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)], axis=1)
+    )
+    del key_arr, h
 
     @jax.jit
-    def build_index(key, mf):
-        k1, k2, k3 = jax.random.split(key, 3)
-        # ~1e-4 fill, at most one bit per word so rank indices stay in-bounds
-        r = jax.random.randint(k1, (nwords,), 0, 10000, dtype=jnp.int32)
-        bitpos = jax.random.randint(k2, (nwords,), 0, 32, dtype=jnp.int32)
-        words = jnp.where(r == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
-        r2 = jax.random.randint(k3, (nwords,), 0, 10000, dtype=jnp.int32)
-        ctx_words = jnp.where(r2 == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
-        pc = (words != 0).astype(jnp.uint32)
+    def build_index(key, key_h):
+        ks = jax.random.split(key, 2 * max(N_AND, 1) + 2)
+        if N_AND > 0:
+            words = jax.random.bits(ks[0], (nwords,), dtype=jnp.uint32)
+            ctx_words = jax.random.bits(ks[1], (nwords,), dtype=jnp.uint32)
+            for j in range(1, N_AND):
+                words &= jax.random.bits(ks[2 * j], (nwords,), dtype=jnp.uint32)
+                ctx_words &= jax.random.bits(ks[2 * j + 1], (nwords,), dtype=jnp.uint32)
+        else:
+            r = jax.random.randint(ks[0], (nwords,), 0, 10000, dtype=jnp.int32)
+            bitpos = jax.random.randint(ks[1], (nwords,), 0, 32, dtype=jnp.int32)
+            words = jnp.where(r == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
+            r2 = jax.random.randint(ks[2], (nwords,), 0, 10000, dtype=jnp.int32)
+            ctx_words = jnp.where(r2 == 0, jnp.uint32(1) << bitpos.astype(jnp.uint32), jnp.uint32(0))
+        pc = jax.lax.population_count(words)
         rank = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(pc)[:-1]])
+        n_counts = rank[-1] + pc[-1]
+
+        # exact-map mini-filter in the rank column's top 4 bits, exactly as
+        # DeviceIndex.from_host lays it out (hash -> word, bits 60-61 -> slot)
+        from malva_tpu.ops.xxh3_jax import xxh3_mod_size
+
+        kw, _ = xxh3_mod_size(key_h, size_bits)
+        slot = (key_h[:, 0] >> jnp.uint32(28)) & jnp.uint32(3)
+        mf = jnp.zeros(nwords, dtype=jnp.uint32)
+        for s in range(4):
+            idx = jnp.where(slot == s, kw, jnp.int32(nwords))
+            mf = mf.at[idx].max(jnp.uint32(1 << s), mode="drop")
         bf_packed = jnp.stack([words, rank | (mf << jnp.uint32(RANK_BITS))], axis=1)
-        return bf_packed, ctx_words
+        return bf_packed, ctx_words, n_counts
 
-    bf_packed, ctx_words = build_index(key, mf)
-    del mf
-    # combined [bf_counts | kmap_vals] state; nwords is an upper bound on popcount
-    state = jnp.zeros(nwords + table.vals.shape[0], dtype=jnp.uint32)
+    bf_packed, ctx_words, n_counts = build_index(jax.random.PRNGKey(0), key_h)
+    n_counts = int(np.asarray(n_counts))
+    fill = n_counts / size_bits
+    print(f"[bench] filter popcount {n_counts} (density {fill:.2e})", file=sys.stderr)
+    assert n_counts < (1 << RANK_BITS)
+    state = jnp.zeros(n_counts + kv_len, dtype=jnp.uint32)
 
-    step = make_call_step_compact(35, 43, size_bits, table.n_buckets, BATCH)
-    alpha_dev = jnp.asarray(alpha)
+    step = make_call_step_packed(35, 43, size_bits, table.n_buckets, BATCH)
 
     @jax.jit
-    def bench_iter(i, bf_packed, state, ctx_words, kmap_keys):
+    def make_contexts(i):
         k = jax.random.fold_in(jax.random.PRNGKey(7), i)
-        contexts = jnp.take(
-            alpha_dev,
-            jax.random.randint(k, (BATCH, 43), 0, 4, dtype=jnp.int32),
-            axis=0,
-        )
-        counters = jnp.ones((BATCH,), dtype=jnp.uint32)
-        return step(bf_packed, state, ctx_words, kmap_keys, contexts, counters)
+        codes = jax.random.randint(k, (BATCH, 43), 0, 4, dtype=jnp.uint32)
+        cols = []
+        for w in range(3):
+            acc = jnp.zeros(BATCH, dtype=jnp.uint32)
+            for j in range(w * 16, min((w + 1) * 16, 43)):
+                acc = acc | (codes[:, j] << (2 * (15 - (j - w * 16))))
+            cols.append(acc)
+        return jnp.stack(cols, axis=1)
+
+    counters = jnp.ones((BATCH,), dtype=jnp.uint32)
 
     def it(i, state):
-        return bench_iter(i, bf_packed, state, ctx_words, kmap_keys)
+        return step(bf_packed, state, ctx_words, kmap_keys, make_contexts(i), counters)
 
     # block_until_ready does not reliably block on tunneled backends;
     # fetching a reduced scalar is the only trustworthy fence.
@@ -137,7 +169,7 @@ def main() -> None:
     def sync(state):
         np.asarray(fence(state))
 
-    # warmup / compile
+    # warmup / compile (state is donated: always rebind)
     state = it(0, state)
     state = it(1, state)
     sync(state)
@@ -151,11 +183,12 @@ def main() -> None:
     print(f"[bench] {rate:.3e} kmers/s over {ITERS} iters of {BATCH}", file=sys.stderr)
 
     base = cpu_baseline()
-    print(f"[bench] cpu baseline: {base:.3e} kmers/s", file=sys.stderr)
+    print(f"[bench] cpu C++-replica baseline ({MODE} fill, {KMAP_KEYS}-key map): "
+          f"{base:.3e} kmers/s", file=sys.stderr)
     vs = rate / base if base > 0 else 0.0
 
     print(json.dumps({
-        "metric": "call_kmers_queried_per_sec_per_chip",
+        "metric": f"call_kmers_queried_per_sec_per_chip_{MODE}",
         "value": round(rate, 1),
         "unit": "kmers/s",
         "vs_baseline": round(vs, 3),

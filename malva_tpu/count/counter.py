@@ -109,12 +109,15 @@ def count_reads_kmers(
     checkpoint: str | None = None,
     checkpoint_every_batches: int = 8,
     use_device: bool = False,
+    return_packed: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Count canonical ref_k-mers of a FASTA/FASTQ file.
 
     Returns (contexts, counts): contexts is (M, ref_k) uint8 ASCII of the
     distinct canonical k-mers with ci <= count, counts is (M,) uint32
-    saturated at cs.
+    saturated at cs.  With ``return_packed`` the contexts stay in the
+    internal 2-bit packed form ((M, ceil(ref_k/32)) uint64) — the device
+    call step consumes that directly (index.device.packed64_to_u32).
 
     With ``checkpoint`` set, the distinct-count store plus the read-batch
     cursor are persisted every ``checkpoint_every_batches`` read batches,
@@ -227,4 +230,4 @@ def count_reads_kmers(
         f"{acc_cnts.shape[0]} distinct, {keys.shape[0]} past ci={ci}",
         file=log,
     )
-    return unpack_2bit(keys, ref_k), counts
+    return (keys if return_packed else unpack_2bit(keys, ref_k)), counts

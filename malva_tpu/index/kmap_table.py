@@ -25,40 +25,64 @@ class BucketTable:
     def __init__(self, keys: list[bytes], k: int, min_buckets: int = 1):
         self.k = k
         self.w = (k + 15) // 16
-        m = len(keys)
-        n_buckets = max(1, min_buckets)
-        while n_buckets < max(1, m):  # load <= 0.25 at start
-            n_buckets <<= 1
-        while True:
-            if self._try_build(keys, n_buckets):
-                break
-            n_buckets <<= 1
-
-    def _try_build(self, keys: list[bytes], n_buckets: int) -> bool:
-        w = self.w
-        bucket_keys = np.full((n_buckets, SLOTS * w), 0xFFFFFFFF, dtype=np.uint32)
-        vals = np.zeros(n_buckets * SLOTS, dtype=np.uint32)
-        slot_keys: list = [None] * (n_buckets * SLOTS)
-        fill = np.zeros(n_buckets, dtype=np.int32)
         if keys:
             arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, self.k)
             packed = pack2bit_u32_np(arr, self.k)
             h = xxh3_64(arr)
-            lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            hi = (h >> np.uint64(32)).astype(np.uint32)
-            buckets = (lo ^ hi) & np.uint32(n_buckets - 1)
-            for i, kb in enumerate(keys):
-                b = int(buckets[i])
-                s = int(fill[b])
-                if s >= SLOTS:
-                    return False
-                bucket_keys[b, s * w : (s + 1) * w] = packed[i]
-                slot_keys[b * SLOTS + s] = kb
-                fill[b] = s + 1
+        else:
+            packed = np.zeros((0, self.w), dtype=np.uint32)
+            h = np.zeros(0, dtype=np.uint64)
+        self._build(packed, h, keys, min_buckets)
+
+    @classmethod
+    def from_packed(cls, packed: np.ndarray, h: np.ndarray, k: int,
+                    min_buckets: int = 1) -> "BucketTable":
+        """Build straight from packed keys + hashes (no byte-key list;
+        set_vals_from/write_back are unavailable — bench/bulk use)."""
+        self = cls.__new__(cls)
+        self.k = k
+        self.w = (k + 15) // 16
+        self._build(packed, h, None, min_buckets)
+        return self
+
+    def _build(self, packed, h, keys, min_buckets: int) -> None:
+        m = packed.shape[0]
+        n_buckets = max(1, min_buckets)
+        while n_buckets < max(1, m):  # load <= 0.25 at start
+            n_buckets <<= 1
+        lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (h >> np.uint64(32)).astype(np.uint32)
+        while not self._try_build(packed, lo ^ hi, keys, n_buckets):
+            n_buckets <<= 1
+
+    def _try_build(self, packed, bmix, keys, n_buckets: int) -> bool:
+        w = self.w
+        m = packed.shape[0]
+        buckets = bmix & np.uint32(n_buckets - 1)
+        # stable sort by bucket; slot = position within the bucket run
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order].astype(np.int64)
+        if m:
+            new_run = np.concatenate([[True], sb[1:] != sb[:-1]])
+            run_start = np.maximum.accumulate(np.where(new_run, np.arange(m), 0))
+            slot = np.arange(m) - run_start
+            if int(slot.max(initial=0)) >= SLOTS:
+                return False
+        else:
+            slot = np.zeros(0, dtype=np.int64)
+        bucket_keys = np.full((n_buckets, SLOTS, w), 0xFFFFFFFF, dtype=np.uint32)
+        bucket_keys[sb, slot] = packed[order]
         self.n_buckets = n_buckets
-        self.bucket_keys = bucket_keys
-        self.vals = vals
-        self.slot_keys = slot_keys
+        self.bucket_keys = bucket_keys.reshape(n_buckets, SLOTS * w)
+        self.vals = np.zeros(n_buckets * SLOTS, dtype=np.uint32)
+        if keys is None:
+            self.slot_keys = None
+        else:
+            slot_keys: list = [None] * (n_buckets * SLOTS)
+            flat = sb * SLOTS + slot
+            for i, pos in zip(order.tolist(), flat.tolist()):
+                slot_keys[pos] = keys[i]
+            self.slot_keys = slot_keys
         return True
 
     def set_vals_from(self, kmers: dict) -> None:

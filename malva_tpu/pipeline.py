@@ -329,13 +329,16 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
 
         apply_sample_counts_device(index, contexts, counts, cfg)
     else:
-        apply_sample_counts(index, contexts, counts, cfg)
+        apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
     timer.pelapsed("BF weights created")
 
     _genotype_and_emit(cfg, index, refs, out, timer)
 
 
 def _sample_kmers(cfg: Config, path: str):
+    """-> (contexts, counts); contexts is 2-bit packed uint64 from the
+    built-in counter, or ASCII uint8 from an external KMC dump (which may
+    contain non-canonical/non-ACGT rows the packed form can't carry)."""
     if cfg.from_kmc_dump:
         return load_kmc_dump(path, cfg.ref_k)
     try:
@@ -346,7 +349,13 @@ def _sample_kmers(cfg: Config, path: str):
         _resolve_backend(cfg, nbytes, DEVICE_MIN_READ_BYTES) == "device"
         and cfg.ref_k % 16 != 0
     )
-    return count_reads_kmers(path, cfg.ref_k, use_device=use_device)
+    return count_reads_kmers(path, cfg.ref_k, use_device=use_device, return_packed=True)
+
+
+def _as_ascii(contexts: np.ndarray, ref_k: int) -> np.ndarray:
+    from .ops.seq import unpack_2bit
+
+    return unpack_2bit(contexts, ref_k) if contexts.dtype == np.uint64 else contexts
 
 
 def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:
@@ -404,6 +413,6 @@ def call_batch(
                 dev = DeviceIndex.from_host(index, cfg)
             apply_sample_counts_device(index, contexts, counts, cfg, dev=dev)
         else:
-            apply_sample_counts(index, contexts, counts, cfg)
+            apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
         _genotype_and_emit(cfg, index, refs, out, timer)
         timer.pelapsed(f"Sample done: {sample_path}")

@@ -5,7 +5,11 @@
 // benchmarking.  Links against the reference's vendored xxhash.c at build
 // time (see bench.py) so the hash cost is the real one.
 //
-// Usage: ref_hotloop <log2_bits> <n_kmers> <iters>
+// Usage: ref_hotloop <log2_bits> <n_kmers> <iters> [n_and] [kmap_keys]
+//   n_and = 0: legacy sparse fill (~3e-6 bit density)
+//   n_and = k: every word = AND of k random words (density 2^-k; 6 -> the
+//              WGS-like 1.6e-2 the TPU bench uses)
+//   kmap_keys: exact-map size (default 1e6)
 // Prints: kmers_per_sec=<float>
 
 #include <chrono>
@@ -34,6 +38,8 @@ int main(int argc, char** argv) {
     int log2_bits = argc > 1 ? atoi(argv[1]) : 33;
     long n = argc > 2 ? atol(argv[2]) : (1 << 22);
     int iters = argc > 3 ? atoi(argv[3]) : 3;
+    int n_and = argc > 4 ? atoi(argv[4]) : 0;
+    long kmap_n = argc > 5 ? atol(argv[5]) : 1000000;
 
     memset(RC, 0, sizeof RC);
     RC['A'] = 'T'; RC['C'] = 'G'; RC['G'] = 'C'; RC['T'] = 'A'; RC['N'] = 'N';
@@ -44,9 +50,15 @@ int main(int argc, char** argv) {
     std::vector<uint32_t> rank(nwords);
     std::mt19937_64 rng(42);
     for (size_t i = 0; i < nwords; ++i) {
-        // ~1e-4 fill: occasional single bit per word
-        bf[i] = (rng() % 10000 == 0) ? (1ULL << (rng() & 63)) : 0;
-        ctx[i] = (rng() % 10000 == 0) ? (1ULL << (rng() & 63)) : 0;
+        if (n_and > 0) {
+            uint64_t b = rng(), c = rng();
+            for (int j = 1; j < n_and; ++j) { b &= rng(); c &= rng(); }
+            bf[i] = b; ctx[i] = c;
+        } else {
+            // ~3e-6 fill: occasional single bit per word
+            bf[i] = (rng() % 10000 == 0) ? (1ULL << (rng() & 63)) : 0;
+            ctx[i] = (rng() % 10000 == 0) ? (1ULL << (rng() & 63)) : 0;
+        }
     }
     uint32_t acc = 0;
     for (size_t i = 0; i < nwords; ++i) { rank[i] = acc; acc += __builtin_popcountll(bf[i]); }
@@ -55,7 +67,7 @@ int main(int argc, char** argv) {
     std::unordered_map<std::string, int> kmap;
     {
         const char* al = "ACGT";
-        for (int i = 0; i < 1000000; ++i) {
+        for (long i = 0; i < kmap_n; ++i) {
             char buf[K + 1];
             for (int j = 0; j < K; ++j) buf[j] = al[rng() & 3];
             buf[K] = 0;
