@@ -38,6 +38,11 @@ def _parser(prog: str) -> argparse.ArgumentParser:
         sp.add_argument("-1", "--haploid", action="store_true", dest="haploid")
         sp.add_argument("--from-kmc-dump", action="store_true",
                         help="treat <sample> as kmc_dump text (KMER<TAB>COUNT)")
+        sp.add_argument("--from-kmc", action="store_true", dest="from_kmc_db",
+                        help="treat <sample> as a KMC database prefix (.kmc_pre/.kmc_suf)")
+        sp.add_argument("--spill-dir", default="",
+                        help="bounded-memory counting: spill distinct k-mers "
+                             "to this directory (kmc -m4 parity; resumable)")
         sp.add_argument("--malvax", action="store_true",
                         help="read/write the reference .malvax.zst index format")
         sp.add_argument("--profile-dir", default=None,
@@ -67,6 +72,8 @@ def _config(args: argparse.Namespace) -> Config:
         bf_size=Config.bf_gb_to_bits(args.bf_size),
         strip_chr=args.strip_chr,
         from_kmc_dump=args.from_kmc_dump,
+        from_kmc_db=args.from_kmc_db,
+        spill_dir=args.spill_dir,
         uniform=args.uniform,
         verbose=args.verbose,
         haploid=args.haploid,

@@ -1,0 +1,263 @@
+"""Bounded-memory k-mer counting via disk spill — `kmc -m4` parity.
+
+The in-RAM counter (count.counter) keeps every distinct canonical
+ref_k-mer in host memory: fine up to cohort scale, impossible for a 30x
+whole-genome read set (billions of distinct keys, mostly error
+singletons).  The reference sidesteps this by shelling out to KMC with a
+4 GB budget and disk spill (reference: MALVA:107 `kmc -m4`); this module
+is the built-in equivalent:
+
+1. **Distribute**: reads stream through the existing chunk counter
+   (canonicalize + pack + sort + run-length — device or host), and each
+   chunk's sorted distinct (key, count) runs are partitioned by a
+   multiplicative hash of the packed key into N_BUCKETS spill buckets,
+   written as one segment file trio per flush (keys/counts/offsets .npy,
+   committed atomically via rename).
+2. **Merge**: per bucket, the slices of every segment are mmap-loaded,
+   concatenated, sorted, and run-length-summed; ci/cs apply per bucket.
+   Peak RAM is O(total_spilled / N_BUCKETS), independent of the genome.
+
+The result streams out bucket by bucket (an iterator of
+(keys_u64, counts) batches) so the full distinct set never materializes
+in RAM either — the call phase feeds the batches straight into the
+device step.
+
+Checkpoint/resume: a manifest (json, atomic rename) records the number
+of committed segments and the read-batch cursor, advanced only at read
+batch boundaries; on resume, segment files beyond the manifest count are
+deleted (they came from a partially processed batch) and streaming
+restarts at the cursor.  Batch segmentation is deterministic, so a
+resumed count is byte-identical to a clean one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..io.fasta import iter_read_batches
+from ..ops.seq import upper
+from .counter import _windows_of_read, _sorted_counts
+from .device_count import device_seq_sorted_counts
+
+# multiplicative spill-bucket hash over the packed words (canonical
+# k-mers are NOT uniform in their prefix — never partition by raw bits)
+_MIX = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+        np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5))
+
+
+def _bucket_of(keys_u64: np.ndarray, n_buckets: int) -> np.ndarray:
+    h = np.zeros(keys_u64.shape[0], dtype=np.uint64)
+    for j in range(keys_u64.shape[1]):
+        h ^= keys_u64[:, j] * _MIX[j % len(_MIX)]
+    h *= _MIX[0]
+    return (h >> np.uint64(64 - int(n_buckets).bit_length() + 1)).astype(np.int64)
+
+
+class SpillStore:
+    """Segmented on-disk (key, count) run store, partitioned by bucket."""
+
+    def __init__(self, dirpath: str, n_buckets: int = 1024):
+        assert n_buckets & (n_buckets - 1) == 0
+        self.dir = dirpath
+        self.n_buckets = n_buckets
+        self.n_seg = 0
+        os.makedirs(dirpath, exist_ok=True)
+
+    def _seg_paths(self, i: int):
+        return (os.path.join(self.dir, f"seg{i:06d}.keys.npy"),
+                os.path.join(self.dir, f"seg{i:06d}.cnts.npy"),
+                os.path.join(self.dir, f"seg{i:06d}.offs.npy"))
+
+    def add_segment(self, keys: np.ndarray, cnts: np.ndarray) -> None:
+        """Partition one chunk's distinct runs by bucket and commit as a
+        segment (atomic: tmp files + rename, offsets last)."""
+        b = _bucket_of(keys, self.n_buckets)
+        order = np.argsort(b, kind="stable")
+        keys = keys[order]
+        cnts = cnts[order].astype(np.uint32)
+        offs = np.zeros(self.n_buckets + 1, dtype=np.int64)
+        np.add.at(offs, b + 1, 1)
+        offs = np.cumsum(offs)
+        pk, pc, po = self._seg_paths(self.n_seg)
+        for path, arr in [(pk, keys), (pc, cnts), (po, offs)]:
+            np.save(path + ".tmp.npy", arr)
+            os.replace(path + ".tmp.npy", path)
+        self.n_seg += 1
+
+    def drop_segments_from(self, n: int) -> None:
+        i = n
+        while True:
+            paths = self._seg_paths(i)
+            if not any(os.path.exists(p) for p in paths):
+                break
+            for p in paths:
+                if os.path.exists(p):
+                    os.remove(p)
+            i += 1
+        self.n_seg = n
+
+    def iter_merged(self, ci: int, cs: int):
+        """Yield (keys_u64, counts_u32) per spill bucket, ci/cs applied.
+        Peak RAM = the largest bucket's records, not the total."""
+        segs = [
+            (np.load(pk, mmap_mode="r"), np.load(pc, mmap_mode="r"), np.load(po))
+            for pk, pc, po in (self._seg_paths(i) for i in range(self.n_seg))
+        ]
+        for b in range(self.n_buckets):
+            parts_k = [k[o[b]:o[b + 1]] for k, c, o in segs if o[b] < o[b + 1]]
+            parts_c = [c[o[b]:o[b + 1]] for k, c, o in segs if o[b] < o[b + 1]]
+            if not parts_k:
+                continue
+            keys = np.concatenate(parts_k)
+            cnts = np.concatenate(parts_c).astype(np.int64)
+            order = np.lexsort(tuple(keys[:, w] for w in range(keys.shape[1] - 1, -1, -1)))
+            keys = keys[order]
+            cnts = cnts[order]
+            diff = np.any(keys[1:] != keys[:-1], axis=1)
+            starts = np.concatenate([[0], np.nonzero(diff)[0] + 1])
+            summed = np.add.reduceat(cnts, starts)
+            keep = summed >= ci
+            yield keys[starts][keep], np.minimum(summed[keep], cs).astype(np.uint32)
+
+    def cleanup(self) -> None:
+        self.drop_segments_from(0)
+        for f in ("manifest.json",):
+            p = os.path.join(self.dir, f)
+            if os.path.exists(p):
+                os.remove(p)
+
+
+def count_reads_kmers_spill(
+    reads_path: str,
+    ref_k: int,
+    spill_dir: str,
+    ci: int = 2,
+    cs: int = 255,
+    chunk_kmers: int = 1 << 23,
+    n_buckets: int = 1024,
+    log=sys.stderr,
+    use_device: bool = False,
+    resume: bool = True,
+    keep_spill: bool = False,
+):
+    """Bounded-memory version of counter.count_reads_kmers.
+
+    Returns an ITERATOR of (keys_u64, counts_u32) batches (one per spill
+    bucket); total counts are exact and identical to the in-RAM counter's
+    (order differs — bucket-major — which no consumer observes: counter
+    updates are commutative).
+    """
+    store = SpillStore(spill_dir, n_buckets)
+    manifest_path = os.path.join(spill_dir, "manifest.json")
+    start_batch = 0
+    total_windows = 0
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        if man.get("ref_k") == ref_k and man.get("reads_path") == reads_path:
+            start_batch = int(man["batch"])
+            total_windows = int(man["windows"])
+            store.drop_segments_from(int(man["n_seg"]))
+            print(
+                f"[malva-tpu/spill] resuming at batch {start_batch} "
+                f"({store.n_seg} segments committed)", file=log,
+            )
+        else:
+            print("[malva-tpu/spill] manifest mismatch, restarting", file=log)
+            store.cleanup()
+    else:
+        store.cleanup()
+
+    def commit_manifest(batch_i: int) -> None:
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "ref_k": ref_k, "reads_path": reads_path, "batch": batch_i,
+                "n_seg": store.n_seg, "windows": total_windows,
+            }, f)
+        os.replace(tmp, manifest_path)
+
+    from .counter import pack_2bit, canonical  # noqa: PLC0415
+
+    device_steps: dict[int, object] = {}
+    _SEP = np.full(1, 0xFF, dtype=np.uint8)
+
+    def _device_step_for(m: int):
+        from .device_count import make_seq_sort_count_step
+
+        size = min(1 << max(12, (max(m, 1) - 1).bit_length()), chunk_kmers)
+        if size not in device_steps:
+            device_steps[size] = make_seq_sort_count_step(ref_k, size)
+        return size, device_steps[size]
+
+    pending: list[np.ndarray] = []
+    pending_n = 0
+
+    def flush():
+        nonlocal pending, pending_n, total_windows
+        if not pending:
+            return
+        block = np.concatenate(pending, axis=0)
+        pending = []
+        pending_n = 0
+        if use_device:
+            n_pos = block.shape[0] - ref_k + 1
+            for start in range(0, max(n_pos, 0), chunk_kmers):
+                size, step = _device_step_for(min(chunk_kmers, n_pos - start))
+                for s2 in range(start, min(start + chunk_kmers, n_pos), size):
+                    piece = block[s2 : s2 + size + ref_k - 1]
+                    keys, cnts = device_seq_sorted_counts(step, piece, size, ref_k)
+                    if keys.shape[0]:
+                        total_windows += int(cnts.sum())
+                        store.add_segment(keys, cnts)
+            return
+        packed = pack_2bit(canonical(block))
+        keys, cnts = _sorted_counts(packed)
+        if keys.shape[0]:
+            total_windows += int(cnts.sum())
+            store.add_segment(keys, cnts)
+
+    for batch_i, batch in enumerate(iter_read_batches(reads_path)):
+        if batch_i < start_batch:
+            continue
+        for seq in batch:
+            if use_device:
+                a = upper(np.frombuffer(seq, dtype=np.uint8))
+                if a.shape[0] >= ref_k:
+                    pending.append(a)
+                    pending.append(_SEP)
+                    pending_n += a.shape[0]
+            else:
+                w = _windows_of_read(seq, ref_k)
+                if w.shape[0]:
+                    pending.append(w)
+                    pending_n += w.shape[0]
+            if pending_n >= chunk_kmers:
+                flush()
+        # batch boundary: anything flushed so far is fully committed
+        flush()
+        commit_manifest(batch_i + 1)
+
+    print(
+        f"[malva-tpu/spill] {total_windows} k-mer occurrences in "
+        f"{store.n_seg} segments; merging {n_buckets} buckets", file=log,
+    )
+
+    def merged():
+        n_distinct = 0
+        n_out = 0
+        for keys, cnts in store.iter_merged(ci, cs):
+            n_distinct += keys.shape[0]
+            n_out += keys.shape[0]
+            yield keys, cnts
+        print(
+            f"[malva-tpu/spill] {n_out} distinct k-mers past ci={ci}", file=log,
+        )
+        if not keep_spill:
+            store.cleanup()
+
+    return merged()

@@ -231,7 +231,7 @@ def make_call_step_compact(k: int, ref_k: int, size_bits: int, n_buckets: int,
     import jax.numpy as jnp
     from jax import lax
 
-    from .kmap_table import SLOTS, probe_bucket_table
+    from .kmap_table import SLOTS, bucket_pair_jax, probe_bucket_table
 
     off = (ref_k - k) // 2
     w_k = (k + 15) // 16
@@ -270,7 +270,7 @@ def make_call_step_compact(k: int, ref_k: int, size_bits: int, n_buckets: int,
         ctx_hash = xxh3_64_jax(contexts)
         cw, cb = xxh3_mod_size(ctx_hash, size_bits)
         packed = pack2bit_jax(centers_canon, k)
-        bucket = ((ch[:, 1] ^ ch[:, 0]) & jnp.uint32(n_buckets - 1))
+        bucket, bucket2 = bucket_pair_jax(ch[:, 0], ch[:, 1], n_buckets)
         counters_u = counters.astype(jnp.uint32)
 
         def compact_path(state):
@@ -285,25 +285,27 @@ def make_call_step_compact(k: int, ref_k: int, size_bits: int, n_buckets: int,
                 | (cb.astype(jnp.uint32) << 2)
             )
             payload = jnp.stack(
-                [cnt_idx, counters_u, flags, cw.astype(jnp.uint32), bucket]
+                [cnt_idx, counters_u, flags, cw.astype(jnp.uint32), bucket, bucket2]
                 + [packed[:, j] for j in range(w_k)],
                 axis=1,
             )
-            p = jnp.take(payload, sel, axis=0)          # (cap, 5 + w_k) u32
+            p = jnp.take(payload, sel, axis=0)          # (cap, 6 + w_k) u32
             p_cnt, p_counter, p_flags = p[:, 0], p[:, 1], p[:, 2]
             p_set = (p_flags & jnp.uint32(1)).astype(bool)
             p_cand = ((p_flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
             p_cb = p_flags >> jnp.uint32(2)
             p_cw = p[:, 3].astype(jnp.int32)
             p_bucket = p[:, 4]
-            p_packed = p[:, 5 : 5 + w_k]
+            p_bucket2 = p[:, 5]
+            p_packed = p[:, 6 : 6 + w_k]
 
             wv = jnp.take(ctx_words, p_cw, axis=0)
             ctx_known = ((wv >> p_cb) & jnp.uint32(1)).astype(bool)
             upd = p_set & ~ctx_known
 
             slot, found = probe_bucket_table(
-                kmap_keys, n_buckets, w_k, p_packed, None, None, bucket=p_bucket
+                kmap_keys, n_buckets, w_k, p_packed, None, None,
+                bucket=p_bucket, bucket2=p_bucket2,
             )
             # one merged scatter into [bf_counts | kmap_vals]
             idx = jnp.concatenate([
@@ -318,7 +320,8 @@ def make_call_step_compact(k: int, ref_k: int, size_bits: int, n_buckets: int,
             ctx_known = ((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
             upd = (~ctx_known) & is_set
             slot, found = probe_bucket_table(
-                kmap_keys, n_buckets, w_k, packed, None, None, bucket=bucket
+                kmap_keys, n_buckets, w_k, packed, None, None,
+                bucket=bucket, bucket2=bucket2,
             )
             idx = jnp.concatenate([
                 jnp.where(upd, cnt_idx.astype(jnp.int32), jnp.int32(state.shape[0])),
@@ -371,7 +374,7 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
     import jax.numpy as jnp
     from jax import lax
 
-    from .kmap_table import SLOTS, probe_bucket_table
+    from .kmap_table import SLOTS, bucket_pair_jax, probe_bucket_table
     from ..ops.pallas_kernels import (
         _decode_byte_cols,
         _extract_subpacked,
@@ -435,7 +438,7 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
         n_int = jnp.sum(interesting.astype(jnp.int32))
 
         cw, cb = xxh3_mod_size(jnp.stack([xh, xl], axis=1), size_bits)
-        bucket = (chl ^ chh) & jnp.uint32(n_buckets - 1)
+        bucket, bucket2 = bucket_pair_jax(chh, chl, n_buckets)
         counters_u = counters.astype(jnp.uint32)
 
         def compact_path(state):
@@ -450,25 +453,27 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
                 | (cb.astype(jnp.uint32) << 2)
             )
             payload = jnp.stack(
-                [cnt_idx, counters_u, flags, cw.astype(jnp.uint32), bucket]
+                [cnt_idx, counters_u, flags, cw.astype(jnp.uint32), bucket, bucket2]
                 + [packed[:, j] for j in range(w_k)],
                 axis=1,
             )
-            p = jnp.take(payload, sel, axis=0)          # (cap, 5 + w_k) u32
+            p = jnp.take(payload, sel, axis=0)          # (cap, 6 + w_k) u32
             p_cnt, p_counter, p_flags = p[:, 0], p[:, 1], p[:, 2]
             p_set = (p_flags & jnp.uint32(1)).astype(bool)
             p_cand = ((p_flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
             p_cb = p_flags >> jnp.uint32(2)
             p_cw = p[:, 3].astype(jnp.int32)
             p_bucket = p[:, 4]
-            p_packed = p[:, 5 : 5 + w_k]
+            p_bucket2 = p[:, 5]
+            p_packed = p[:, 6 : 6 + w_k]
 
             wv = jnp.take(ctx_words, p_cw, axis=0)
             ctx_known = ((wv >> p_cb) & jnp.uint32(1)).astype(bool)
             upd = p_set & ~ctx_known
 
             slot, found = probe_bucket_table(
-                kmap_keys, n_buckets, w_k, p_packed, None, None, bucket=p_bucket
+                kmap_keys, n_buckets, w_k, p_packed, None, None,
+                bucket=p_bucket, bucket2=p_bucket2,
             )
             idx = jnp.concatenate([
                 jnp.where(upd, p_cnt.astype(jnp.int32), jnp.int32(state.shape[0])),
@@ -482,7 +487,8 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
             ctx_known = ((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
             upd = (~ctx_known) & is_set
             slot, found = probe_bucket_table(
-                kmap_keys, n_buckets, w_k, packed, None, None, bucket=bucket
+                kmap_keys, n_buckets, w_k, packed, None, None,
+                bucket=bucket, bucket2=bucket2,
             )
             idx = jnp.concatenate([
                 jnp.where(upd, cnt_idx.astype(jnp.int32), jnp.int32(state.shape[0])),
@@ -636,32 +642,37 @@ def apply_sample_counts_device(
     ``contexts`` is either (N, ref_k) uint8 ASCII or (N, ceil(ref_k/32))
     uint64 2-bit packed in the counter's layout (the counter hands the
     packed form straight through — no unpack/repack roundtrip, and the
-    host->device upload is ref_k/4x smaller).  ASCII rows containing
-    non-ACGT bytes (possible only via external k-mer dumps) are routed
-    through the exact host path; everything else goes through the packed
-    Pallas step.
+    host->device upload is ref_k/4x smaller).
 
     Pass a prebuilt ``dev`` to reuse the uploaded index across samples
     (batch genotyping): only the counter state is fresh per call — the
     caller must have zeroed the host counters (pipeline._reset_counters),
     which makes the initial device state all-zeros."""
+    apply_sample_counts_stream(
+        index, iter([(contexts, counters)]), cfg, batch=batch, dev=dev
+    )
+
+
+def apply_sample_counts_stream(
+    index, batches, cfg: Config, batch: int = 1 << 20,
+    dev: "DeviceIndex | None" = None,
+) -> None:
+    """Streaming core of the device call phase: consume an iterator of
+    (contexts, counters) batches (arbitrary sizes; uint64-packed or ASCII
+    rows) with the counter state resident on device across the whole
+    stream — the bounded-memory spill counter feeds its per-bucket output
+    straight through here without the distinct set ever existing in RAM.
+
+    ASCII rows containing non-ACGT bytes (possible only via external
+    k-mer dumps) are collected and replayed through the exact host path
+    after the device write-back (counter updates are commutative, so the
+    ordering is unobservable).  The step's lane count is fixed by the
+    first full buffer (one compile); the tail is zero-padded.
+    """
     import jax
     import jax.numpy as jnp
 
     from ..ops import seq
-
-    if contexts.dtype == np.uint64:
-        packed = packed64_to_u32(contexts, cfg.ref_k)
-    else:
-        ok = seq.is_acgt(contexts) if contexts.shape[0] else np.ones(0, bool)
-        if not ok.all():
-            from ..pipeline import apply_sample_counts
-
-            apply_sample_counts(index, contexts[~ok], counters[~ok], cfg)
-            contexts, counters = contexts[ok], counters[ok]
-        # external dumps may carry non-canonical k-mers; the host path
-        # canonicalizes per probe, the packed step expects canonical input
-        packed = pack2bit_u32_np(seq.canonical(contexts), cfg.ref_k)
 
     if dev is None:
         dev = DeviceIndex.from_host(index, cfg)
@@ -673,33 +684,89 @@ def apply_sample_counts_device(
         state = jnp.concatenate([
             jnp.asarray(index.bf.counts), jnp.asarray(dev.table.vals)
         ])
-    n = packed.shape[0]
-    eff_batch = min(max(n, 1), batch)
-    eff_batch = (eff_batch + 127) & ~127  # Pallas front end: 128-lane tiles
-    step = make_call_step_packed(
-        cfg.k, cfg.ref_k, dev.size_bits, dev.n_buckets, eff_batch,
-        minifilter=dev.minifilter,
-    )
-    counters = counters.astype(np.uint32)
-    wc = packed.shape[1]
 
-    def upload(start):
-        chunk = packed[start : start + eff_batch]
-        cnts = counters[start : start + eff_batch]
-        if chunk.shape[0] < eff_batch:
-            pad = eff_batch - chunk.shape[0]
+    batch = (batch + 127) & ~127  # Pallas front end: 128-lane tiles
+    wc = (cfg.ref_k + 15) // 16
+    host_rows: list[tuple[np.ndarray, np.ndarray]] = []
+    buf_k: list[np.ndarray] = []
+    buf_c: list[np.ndarray] = []
+    buf_n = 0
+    step = None
+    eff = None
+    inflight = None  # (device_chunk, device_counters) uploaded ahead
+
+    def to_packed(contexts, counters):
+        nonlocal host_rows
+        counters = np.asarray(counters).astype(np.uint32)
+        if contexts.dtype == np.uint64:
+            return packed64_to_u32(contexts, cfg.ref_k), counters
+        ok = seq.is_acgt(contexts) if contexts.shape[0] else np.ones(0, bool)
+        if not ok.all():
+            host_rows.append((contexts[~ok], counters[~ok]))
+            contexts, counters = contexts[ok], counters[ok]
+        # external dumps may carry non-canonical k-mers; the host path
+        # canonicalizes per probe, the packed step expects canonical input
+        return pack2bit_u32_np(seq.canonical(contexts), cfg.ref_k), counters
+
+    def run(chunk, cnts):
+        nonlocal state, step, eff, inflight
+        if step is None:
+            eff = (min(max(chunk.shape[0], 1), batch) + 127) & ~127
+            step = make_call_step_packed(
+                cfg.k, cfg.ref_k, dev.size_bits, dev.n_buckets, eff,
+                minifilter=dev.minifilter,
+            )
+        if chunk.shape[0] < eff:
+            pad = eff - chunk.shape[0]
             chunk = np.concatenate([chunk, np.zeros((pad, wc), np.uint32)])
             cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
-        # async H2D: the next batch streams up while the current computes
-        return jax.device_put(chunk), jax.device_put(cnts)
+        # async H2D upload of the next chunk overlaps the current compute
+        up = (jax.device_put(chunk), jax.device_put(cnts))
+        if inflight is not None:
+            state = step(dev.bf_packed, state, dev.ctx_words, dev.kmap_keys, *inflight)
+        inflight = up
+
+    def drain_buffer(final: bool):
+        nonlocal buf_k, buf_c, buf_n, state, inflight
+        if buf_n == 0 and not final:
+            return
+        packed = (np.concatenate(buf_k) if len(buf_k) != 1 else buf_k[0]
+                  ) if buf_k else np.zeros((0, wc), np.uint32)
+        cnts = (np.concatenate(buf_c) if len(buf_c) != 1 else buf_c[0]
+                ) if buf_c else np.zeros(0, np.uint32)
+        buf_k, buf_c, buf_n = [], [], 0
+        n = packed.shape[0]
+        limit = eff if eff is not None else batch
+        pos = 0
+        while n - pos >= limit:
+            run(packed[pos : pos + limit], cnts[pos : pos + limit])
+            pos += limit
+        if pos < n or (final and step is None):
+            if final:
+                run(packed[pos:], cnts[pos:])
+            else:
+                buf_k = [packed[pos:]]
+                buf_c = [cnts[pos:]]
+                buf_n = n - pos
+
+    for contexts, counters in batches:
+        pk, pc = to_packed(contexts, counters)
+        if pk.shape[0]:
+            buf_k.append(pk)
+            buf_c.append(pc)
+            buf_n += pk.shape[0]
+        if buf_n >= batch:
+            drain_buffer(final=False)
+    drain_buffer(final=True)
+    if inflight is not None:
+        state = step(dev.bf_packed, state, dev.ctx_words, dev.kmap_keys, *inflight)
 
     counts_len = int(index.bf.counts.shape[0])
-    starts = list(range(0, max(n, 1), eff_batch))
-    nxt = upload(starts[0])
-    for i, start in enumerate(starts):
-        cur = nxt
-        if i + 1 < len(starts):
-            nxt = upload(starts[i + 1])
-        state = step(dev.bf_packed, state, dev.ctx_words, dev.kmap_keys, *cur)
     dev.bf_counts, dev.kmap_vals = state[:counts_len], state[counts_len:]
     dev.write_back(index)
+
+    if host_rows:
+        from ..pipeline import apply_sample_counts
+
+        for ctx, cnt in host_rows:
+            apply_sample_counts(index, ctx, cnt, cfg)

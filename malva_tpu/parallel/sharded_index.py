@@ -30,7 +30,7 @@ from typing import Any
 import numpy as np
 
 from ..index.device import device_map_keys
-from ..index.kmap_table import SLOTS, BucketTable
+from ..index.kmap_table import SLOTS, BucketTable, bucket_pair_jax
 from ..ops import seq
 from ..ops.bloom_jax import pack2bit_jax, scatter_add_u32
 from ..ops.xxh3_jax import xxh3_64_jax, xxh3_mod_size
@@ -163,21 +163,25 @@ def make_sharded_call_step(mesh, k: int, ref_k: int, size_bits: int, n_shards: i
         upd = bmine & (~ctx_known) & is_set
         bf_counts = scatter_add_u32(bf_counts, cnt_idx, counters, upd)
 
-        # exact map: contiguous bucket ranges per shard
+        # exact map: contiguous bucket ranges per shard; a key lives in
+        # exactly one of its two global cuckoo buckets, so at most one
+        # shard finds it (two-choice layout, kmap_table module doc)
         packed = pack2bit_jax(centers, k)
-        gbucket = ((ch[:, 1] ^ ch[:, 0]) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-        lbucket = gbucket - my * nbps
-        kmine = (lbucket >= 0) & (lbucket < nbps)
-        rows = jnp.take(kmap_keys, jnp.clip(lbucket, 0, nbps - 1), axis=0)
+        gb1, gb2 = bucket_pair_jax(ch[:, 0], ch[:, 1], n_buckets)
         found = jnp.zeros(packed.shape[0], dtype=bool)
         slot = jnp.zeros(packed.shape[0], dtype=jnp.int32)
-        for s in range(SLOTS):
-            eq = jnp.ones(packed.shape[0], dtype=bool)
-            for j in range(w_k):
-                eq = eq & (rows[:, s * w_k + j] == packed[:, j])
-            slot = jnp.where(eq & ~found, jnp.clip(lbucket, 0, nbps - 1) * SLOTS + s, slot)
-            found = found | eq
-        kmap_vals = scatter_add_u32(kmap_vals, slot, counters, found & kmine)
+        for gb in (gb1, gb2):
+            lbucket = gb.astype(jnp.int32) - my * nbps
+            kmine = (lbucket >= 0) & (lbucket < nbps)
+            lb = jnp.clip(lbucket, 0, nbps - 1)
+            rows = jnp.take(kmap_keys, lb, axis=0)
+            for s in range(SLOTS):
+                eq = kmine
+                for j in range(w_k):
+                    eq = eq & (rows[:, s * w_k + j] == packed[:, j])
+                slot = jnp.where(eq & ~found, lb * SLOTS + s, slot)
+                found = found | eq
+        kmap_vals = scatter_add_u32(kmap_vals, slot, counters, found)
 
         return bf_counts[None], kmap_vals[None]
 
@@ -323,7 +327,7 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
     D = n_shards
     # per-(src,dst) slot capacity: 2x the uniform mean, lane-aligned
     cap = max(128, (2 * slice_b + D - 1) // D)
-    F = 7 + w_k  # payload u32 columns
+    F = 8 + w_k  # payload u32 columns
 
     def pack_dests(owner, payload, valid):
         """Sort lanes by owner and scatter into (D*cap, F) slot matrix.
@@ -362,7 +366,7 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
         ctx_hash = xxh3_64_jax(contexts)
         cw, cb = xxh3_mod_size(ctx_hash, size_bits)
         packed = pack2bit_jax(cc, k)
-        bucket = (ch[:, 1] ^ ch[:, 0]) & jnp.uint32(nbs - 1)
+        bucket, bucket2 = bucket_pair_jax(ch[:, 0], ch[:, 1], nbs)
 
         valid = counters > 0
         flags = valid.astype(jnp.uint32)  # bit0 valid
@@ -371,7 +375,7 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
              (cw - (cw // wps) * wps).astype(jnp.uint32),  # local ctx word
              cb.astype(jnp.uint32),
              bw.astype(jnp.uint32), bb.astype(jnp.uint32),
-             counters.astype(jnp.uint32), bucket]
+             counters.astype(jnp.uint32), bucket, bucket2]
             + [packed[:, j] for j in range(w_k)], axis=1,
         )
         slots1, ovf1 = pack_dests((cw // wps).astype(jnp.int32), payload, valid)
@@ -407,17 +411,18 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
         upd = q_valid & is_set & ~q_known
         bf_counts = scatter_add_u32(bf_counts, cnt_idx, q_counter, upd)
 
-        q_packed = slots2[:, 7 : 7 + w_k]
-        q_bucket = slots2[:, 6].astype(jnp.int32)
-        rows = jnp.take(kmap_keys, jnp.clip(q_bucket, 0, nbs - 1), axis=0)
-        found = jnp.zeros(rows.shape[0], dtype=bool)
-        slot = jnp.zeros(rows.shape[0], dtype=jnp.int32)
-        for s in range(SLOTS):
-            eq = jnp.ones(rows.shape[0], dtype=bool)
-            for j in range(w_k):
-                eq = eq & (rows[:, s * w_k + j] == q_packed[:, j])
-            slot = jnp.where(eq & ~found, q_bucket * SLOTS + s, slot)
-            found = found | eq
+        q_packed = slots2[:, 8 : 8 + w_k]
+        found = jnp.zeros(q_packed.shape[0], dtype=bool)
+        slot = jnp.zeros(q_packed.shape[0], dtype=jnp.int32)
+        for col in (6, 7):
+            q_bucket = slots2[:, col].astype(jnp.int32)
+            rows = jnp.take(kmap_keys, jnp.clip(q_bucket, 0, nbs - 1), axis=0)
+            for s in range(SLOTS):
+                eq = jnp.ones(q_packed.shape[0], dtype=bool)
+                for j in range(w_k):
+                    eq = eq & (rows[:, s * w_k + j] == q_packed[:, j])
+                slot = jnp.where(eq & ~found, q_bucket * SLOTS + s, slot)
+                found = found | eq
         kmap_vals = scatter_add_u32(kmap_vals, slot, q_counter, found & q_valid)
         return bf_counts, kmap_vals, ovf1 | ovf2
 
@@ -452,16 +457,18 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
         bf_counts = scatter_add_u32(bf_counts, cnt_idx, counters, upd)
 
         packed = pack2bit_jax(cc, k)
-        bucket = ((ch[:, 1] ^ ch[:, 0]) & jnp.uint32(nbs - 1)).astype(jnp.int32)
-        rows = jnp.take(kmap_keys, bucket, axis=0)
+        b1, b2 = bucket_pair_jax(ch[:, 0], ch[:, 1], nbs)
         found = jnp.zeros(packed.shape[0], dtype=bool)
         slot = jnp.zeros(packed.shape[0], dtype=jnp.int32)
-        for s in range(SLOTS):
-            eq = jnp.ones(packed.shape[0], dtype=bool)
-            for j in range(w_k):
-                eq = eq & (rows[:, s * w_k + j] == packed[:, j])
-            slot = jnp.where(eq & ~found, bucket * SLOTS + s, slot)
-            found = found | eq
+        for b in (b1, b2):
+            bi = b.astype(jnp.int32)
+            rows = jnp.take(kmap_keys, bi, axis=0)
+            for s in range(SLOTS):
+                eq = jnp.ones(packed.shape[0], dtype=bool)
+                for j in range(w_k):
+                    eq = eq & (rows[:, s * w_k + j] == packed[:, j])
+                slot = jnp.where(eq & ~found, bi * SLOTS + s, slot)
+                found = found | eq
         kmap_vals = scatter_add_u32(kmap_vals, slot, counters, found & bmine)
         return bf_counts, kmap_vals
 

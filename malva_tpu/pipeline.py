@@ -322,15 +322,40 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
     refs = load_reference(cfg.fasta_path, cfg.strip_chr)
     timer.pelapsed("Reference processed")
 
-    contexts, counts = _sample_kmers(cfg, cfg.sample_path)
-    timer.pelapsed("Sample k-mer counting")
-    if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
-        from .index.device import apply_sample_counts_device
+    if cfg.spill_dir and not (cfg.from_kmc_dump or cfg.from_kmc_db):
+        # bounded-memory counting: distinct k-mers stream bucket-by-bucket
+        # from disk, never materializing in RAM (kmc -m4 parity)
+        from .count.spill import count_reads_kmers_spill
 
-        apply_sample_counts_device(index, contexts, counts, cfg)
+        try:
+            nbytes = os.path.getsize(cfg.sample_path)
+        except OSError:
+            nbytes = 0
+        on_device = (
+            _resolve_backend(cfg, nbytes, DEVICE_MIN_READ_BYTES) == "device"
+        )
+        batches = count_reads_kmers_spill(
+            cfg.sample_path, cfg.ref_k, cfg.spill_dir,
+            use_device=on_device and cfg.ref_k % 16 != 0,
+        )
+        if on_device:
+            from .index.device import apply_sample_counts_stream
+
+            apply_sample_counts_stream(index, batches, cfg)
+        else:
+            for keys, cnts in batches:
+                apply_sample_counts(index, _as_ascii(keys, cfg.ref_k), cnts, cfg)
+        timer.pelapsed("Sample k-mer counting + BF weights (spill)")
     else:
-        apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
-    timer.pelapsed("BF weights created")
+        contexts, counts = _sample_kmers(cfg, cfg.sample_path)
+        timer.pelapsed("Sample k-mer counting")
+        if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
+            from .index.device import apply_sample_counts_device
+
+            apply_sample_counts_device(index, contexts, counts, cfg)
+        else:
+            apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
+        timer.pelapsed("BF weights created")
 
     _genotype_and_emit(cfg, index, refs, out, timer)
 
@@ -341,6 +366,10 @@ def _sample_kmers(cfg: Config, path: str):
     contain non-canonical/non-ACGT rows the packed form can't carry)."""
     if cfg.from_kmc_dump:
         return load_kmc_dump(path, cfg.ref_k)
+    if cfg.from_kmc_db:
+        from .io.kmc import load_kmc_db
+
+        return load_kmc_db(path, cfg.ref_k)
     try:
         nbytes = os.path.getsize(path)
     except OSError:

@@ -24,7 +24,9 @@ class Config:
     bf_size: int = 1 << 35  # bits; -b N gives N * 2^33 (argument_parser.hpp:120-123)
     strip_chr: bool = False
     from_kmc_dump: bool = False  # sample path is a kmc_dump text file
+    from_kmc_db: bool = False    # sample path is a KMC database prefix (.kmc_pre/.kmc_suf)
     backend: str = "auto"  # auto|host|device: where the hot loops run
+    spill_dir: str = ""  # bounded-memory counting: disk spill directory (kmc -m4 parity)
     uniform: bool = False
     verbose: bool = False
     haploid: bool = False

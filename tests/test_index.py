@@ -90,3 +90,55 @@ def test_kmap_signed_reinterpretation():
     km.increment_keys(kmer, np.array([0x90000000], dtype=np.uint32))
     # stored uint32 >= 2^31 reads back negative (upstream int cast)
     assert km.get_counts(kmer)[0] < 0
+
+
+def test_bucket_table_two_choice_at_scale():
+    """Two-choice cuckoo layout: 200k keys build at load <= 0.5 without
+    size doubling (single-choice 4-slot tables overflow with certainty at
+    this scale), and the device probe finds every key and no others."""
+    import jax.numpy as jnp
+
+    from malva_tpu.index.device import pack2bit_u32_np
+    from malva_tpu.index.kmap_table import SLOTS, BucketTable, probe_bucket_table
+    from malva_tpu.ops.xxh3 import xxh3_64
+
+    rng = np.random.default_rng(42)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    m = 200_000
+    arr = np.unique(alpha[rng.integers(0, 4, size=(m, 35))], axis=0)
+    keys = [arr[i].tobytes() for i in range(arr.shape[0])]
+    table = BucketTable(keys, 35)
+    # sizing stays at the load bound (pow2 rounding only — no overflow growth)
+    want = 1
+    while want * SLOTS < 2 * len(keys):
+        want <<= 1
+    assert table.n_buckets == want
+
+    # every key is found at a slot holding exactly that key
+    h = xxh3_64(arr)
+    hi = (h >> np.uint64(32)).astype(np.uint32)
+    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    packed = pack2bit_u32_np(arr, 35)
+    slot, found = probe_bucket_table(
+        jnp.asarray(table.bucket_keys), table.n_buckets, table.w,
+        jnp.asarray(packed), jnp.asarray(hi), jnp.asarray(lo),
+    )
+    assert bool(np.asarray(found).all())
+    stored = table.bucket_keys.reshape(-1, table.w)[np.asarray(slot)]
+    np.testing.assert_array_equal(stored, packed)
+
+    # misses stay misses
+    miss = alpha[rng.integers(0, 4, size=(1000, 35))]
+    in_set = {miss[i].tobytes() for i in range(1000)} & set(keys)
+    hm = xxh3_64(miss)
+    _, fm = probe_bucket_table(
+        jnp.asarray(table.bucket_keys), table.n_buckets, table.w,
+        jnp.asarray(pack2bit_u32_np(miss, 35)),
+        jnp.asarray((hm >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((hm & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    assert int(np.asarray(fm).sum()) == len(in_set)
+
+    # from_packed builds the identical layout
+    t2 = BucketTable.from_packed(packed, h, 35)
+    np.testing.assert_array_equal(t2.bucket_keys, table.bucket_keys)

@@ -1,0 +1,107 @@
+"""KMC binary database (.kmc_pre/.kmc_suf) reader/writer gates."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from malva_tpu.io.kmc import load_kmc_db, read_kmc_db, write_kmc_db
+from malva_tpu.ops.seq import canonical
+
+
+def _canon_kmers(n, k, seed=0):
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    arr = canonical(alpha[rng.integers(0, 4, size=(n, k))])
+    arr = np.unique(arr, axis=0)
+    counts = rng.integers(1, 1 << 20, size=arr.shape[0]).astype(np.uint32)
+    return arr, counts
+
+
+@pytest.mark.parametrize("k,counter_size", [(43, 4), (43, 1), (31, 2), (21, 3)])
+def test_kmc_roundtrip(tmp_path, k, counter_size):
+    kmers, counts = _canon_kmers(5000, k, seed=k)
+    cs_max = (1 << (8 * counter_size)) - 1
+    counts = np.minimum(counts, cs_max).astype(np.uint32)
+    prefix = str(tmp_path / "db")
+    write_kmc_db(prefix, kmers, counts, counter_size=counter_size)
+    got_k, got_c, info = read_kmc_db(prefix)
+    assert info["kmer_length"] == k
+    assert info["total_kmers"] == kmers.shape[0]
+    assert info["both_strands"]
+    # reader returns sorted records; sort the reference the same way
+    order = np.lexsort(tuple(kmers[:, j] for j in range(k - 1, -1, -1)))
+    np.testing.assert_array_equal(got_k, kmers[order])
+    np.testing.assert_array_equal(got_c, counts[order])
+
+
+def test_kmc_db_equals_text_dump(tmp_path):
+    """Same (contexts, counts) through the binary DB and the text dump
+    (VERDICT round-1 done-criterion for the KMC reader)."""
+    from malva_tpu.count.counter import load_kmc_dump
+
+    kmers, counts = _canon_kmers(2000, 43, seed=3)
+    prefix = str(tmp_path / "db")
+    write_kmc_db(prefix, kmers, counts)
+    dump = tmp_path / "db.txt"
+    with open(dump, "wb") as f:
+        for i in range(kmers.shape[0]):
+            f.write(kmers[i].tobytes() + b"\t%d\n" % counts[i])
+    bk, bc = load_kmc_db(prefix, 43)
+    tk, tc = load_kmc_dump(str(dump), 43)
+    bd = {bk[i].tobytes(): int(bc[i]) for i in range(bk.shape[0])}
+    td = {tk[i].tobytes(): int(tc[i]) for i in range(tk.shape[0])}
+    assert bd == td
+
+
+def test_kmc_k_mismatch(tmp_path):
+    kmers, counts = _canon_kmers(100, 31, seed=1)
+    prefix = str(tmp_path / "db")
+    write_kmc_db(prefix, kmers, counts)
+    with pytest.raises(ValueError, match="!= ref_k"):
+        load_kmc_db(prefix, 43)
+
+
+@pytest.fixture(scope="module")
+def haploid_inputs(tmp_path_factory):
+    import tarfile
+
+    tar = "/root/reference/example/haploid.tar.gz"
+    if not os.path.exists(tar):
+        pytest.skip("reference example data not available")
+    d = tmp_path_factory.mktemp("haploid")
+    with tarfile.open(tar) as tf:
+        tf.extractall(d)
+    return d
+
+
+@pytest.mark.slow
+def test_kmc_db_pipeline_byte_identical(tmp_path, haploid_inputs):
+    """call --from-kmc on a DB built from our counter's output == the
+    normal in-process pipeline, byte for byte (and both == the golden)."""
+    from malva_tpu.count.counter import count_reads_kmers
+    from malva_tpu.pipeline import build_index, call
+    from malva_tpu.utils.config import Config
+
+    d = haploid_inputs
+    contexts, counts = count_reads_kmers(
+        str(d / "haploid.fq"), 43, log=open(os.devnull, "w")
+    )
+    prefix = str(tmp_path / "sample_db")
+    write_kmc_db(prefix, contexts, counts)
+
+    cfg = Config(
+        fasta_path=str(d / "haploid.fa"),
+        vcf_path=str(d / "haploid.vcf"),
+        sample_path=prefix,
+        bf_size=Config.bf_gb_to_bits(1),
+        freq_key="AF",
+        haploid=True,
+        from_kmc_db=True,
+    )
+    index = build_index(cfg)
+    out = io.StringIO()
+    call(cfg, index, out)
+    golden = open("/root/reference/example/haploid.malva.vcf").read()
+    assert out.getvalue() == golden
