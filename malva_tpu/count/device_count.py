@@ -4,13 +4,16 @@ The two-stage counter's cost at scale is canonicalize + pack + sort of
 every window occurrence; this module runs that on device: a batch of
 (B, ref_k) ASCII windows is canonicalized, 2-bit packed and row-sorted
 (multi-key lax.sort) in one jitted step, returning the sorted packed rows
-plus run-boundary mask.  The host then compacts runs and merges them into
-the accumulated distinct-count store (cheap versus the sort).
+plus run-boundary mask and the count of valid lanes.  The host then
+compacts runs and merges them into the accumulated distinct-count store
+(cheap versus the sort).
 
-Padding lanes are forced to all-ones packed rows AFTER packing; a real
-k-mer can never pack to all-ones when ref_k is not a multiple of 16 (the
-tail word's low bits are always zero), so the sentinel sorts last and is
-sliced off exactly.
+Invalid/padding lanes sort last: when ref_k % 16 != 0 they are forced to
+an all-ones packed row (impossible for a real k-mer — the tail word's low
+bits are always zero); when ref_k % 16 == 0 every row pattern is
+reachable, so a leading validity sort key is added instead (one extra
+uint32 column through the sort).  Either way the first n_ok sorted rows
+are exactly the valid ones.
 """
 
 from __future__ import annotations
@@ -21,27 +24,39 @@ from ..ops import seq
 from ..ops.bloom_jax import pack2bit_jax
 
 
+def _sort_valid_first(jax, jnp, packed, ok, w: int, need_flag: bool):
+    """Sort rows (valid lanes first, then by packed words); returns
+    (sorted_packed (B, w), boundary, n_ok)."""
+    if need_flag:
+        flag = (~ok).astype(jnp.uint32)
+        cols = [flag] + [packed[:, j] for j in range(w)]
+        out = jax.lax.sort(tuple(cols), num_keys=w + 1)
+        s = jnp.stack(out[1:], axis=1)
+    else:
+        packed = jnp.where(ok[:, None], packed, jnp.uint32(0xFFFFFFFF))
+        cols = [packed[:, j] for j in range(w)]
+        out = jax.lax.sort(tuple(cols), num_keys=w)
+        s = jnp.stack(out, axis=1)
+    boundary = jnp.concatenate(
+        [jnp.ones(1, bool), jnp.any(s[1:] != s[:-1], axis=1)]
+    )
+    return s, boundary, jnp.sum(ok.astype(jnp.int32))
+
+
 def make_sort_count_step(ref_k: int, batch: int):
     import jax
     import jax.numpy as jnp
 
-    if ref_k % 16 == 0:
-        raise ValueError("device counting requires ref_k % 16 != 0 (sentinel row)")
     w = (ref_k + 15) // 16
+    need_flag = ref_k % 16 == 0
 
     @jax.jit
     def step(windows, n_valid):
         canon = seq.canonical_jax(windows)
         packed = pack2bit_jax(canon, ref_k)
-        lane = jnp.arange(batch, dtype=jnp.int32)[:, None]
-        packed = jnp.where(lane < n_valid, packed, jnp.uint32(0xFFFFFFFF))
-        cols = [packed[:, j] for j in range(w)]
-        sorted_cols = jax.lax.sort(tuple(cols), num_keys=w)
-        s = jnp.stack(sorted_cols, axis=1)
-        boundary = jnp.concatenate(
-            [jnp.ones(1, bool), jnp.any(s[1:] != s[:-1], axis=1)]
-        )
-        return s, boundary
+        lane = jnp.arange(batch, dtype=jnp.int32)
+        ok = lane < n_valid
+        return _sort_valid_first(jax, jnp, packed, ok, w, need_flag)
 
     return step
 
@@ -54,14 +69,13 @@ def make_seq_sort_count_step(ref_k: int, chunk: int):
     separator and is dropped by the same pure-ACGT validity test KMC
     applies (SURVEY.md §7 semantics 6).
 
-    step(seq (chunk+ref_k-1,) uint8, n_valid) -> (sorted_packed, boundary)
-    with invalid/padding lanes forced to the all-ones sentinel row."""
+    step(seq (chunk+ref_k-1,) uint8, n_valid) -> (sorted_packed, boundary,
+    n_ok) with invalid/padding lanes sorted last."""
     import jax
     import jax.numpy as jnp
 
-    if ref_k % 16 == 0:
-        raise ValueError("device counting requires ref_k % 16 != 0 (sentinel row)")
     w = (ref_k + 15) // 16
+    need_flag = ref_k % 16 == 0
 
     @jax.jit
     def step(seq_chunk, n_valid):
@@ -77,14 +91,7 @@ def make_seq_sort_count_step(ref_k: int, chunk: int):
         ok = ok & (lane < n_valid)
         canon = seq.canonical_jax(win)
         packed = pack2bit_jax(canon, ref_k)
-        packed = jnp.where(ok[:, None], packed, jnp.uint32(0xFFFFFFFF))
-        cols2 = [packed[:, j] for j in range(w)]
-        sorted_cols = jax.lax.sort(tuple(cols2), num_keys=w)
-        s = jnp.stack(sorted_cols, axis=1)
-        boundary = jnp.concatenate(
-            [jnp.ones(1, bool), jnp.any(s[1:] != s[:-1], axis=1)]
-        )
-        return s, boundary
+        return _sort_valid_first(jax, jnp, packed, ok, w, need_flag)
 
     return step
 
@@ -102,21 +109,20 @@ def device_seq_sorted_counts(step, seq: np.ndarray, chunk: int, ref_k: int):
         seq = np.concatenate(
             [seq, np.full(chunk + ref_k - 1 - seq.shape[0], 0xFF, dtype=np.uint8)]
         )
-    s, boundary = step(seq, n_pos)
-    return _compact_runs(np.asarray(s), np.asarray(boundary), ref_k)
+    s, boundary, n_ok = step(seq, n_pos)
+    return _compact_runs(
+        np.asarray(s), np.asarray(boundary), int(n_ok), ref_k
+    )
 
 
-def _compact_runs(s: np.ndarray, boundary: np.ndarray, ref_k: int):
-    """Shared tail of the device count steps: run-length compact sorted
-    packed rows, drop the all-ones sentinel, repack to uint64 words."""
+def _compact_runs(s: np.ndarray, boundary: np.ndarray, n_ok: int, ref_k: int):
+    """Shared tail of the device count steps: run-length compact the first
+    n_ok sorted packed rows, repack to uint64 words."""
     w64 = (ref_k + 31) // 32
-    starts = np.nonzero(boundary)[0]
-    ends = np.concatenate([starts[1:], [s.shape[0]]])
+    starts = np.nonzero(boundary[:n_ok])[0]
+    ends = np.concatenate([starts[1:], [n_ok]])
     keys32 = s[starts]
     counts = (ends - starts).astype(np.int64)
-    real = ~np.all(keys32 == np.uint32(0xFFFFFFFF), axis=1)
-    keys32 = keys32[real]
-    counts = counts[real]
     m, w = keys32.shape
     out = np.zeros((m, w64), dtype=np.uint64)
     for j in range(w64):
@@ -141,26 +147,5 @@ def device_sorted_counts(step, windows: np.ndarray, batch: int, ref_k: int):
         windows = np.concatenate(
             [windows, np.zeros((batch - n, ref_k), dtype=np.uint8)]
         )
-    s, boundary = step(windows, n)
-    s = np.asarray(s)
-    boundary = np.asarray(boundary)
-    starts = np.nonzero(boundary)[0]
-    ends = np.concatenate([starts[1:], [windows.shape[0]]])
-    keys32 = s[starts]
-    counts = (ends - starts).astype(np.int64)
-    if n < windows.shape[0]:
-        real = ~np.all(keys32 == np.uint32(0xFFFFFFFF), axis=1)
-        keys32 = keys32[real]
-        counts = counts[real]
-    # (M, w) uint32 16-base words -> (M, ceil(k/32)) uint64 32-base words
-    m, w = keys32.shape
-    out = np.zeros((m, w64), dtype=np.uint64)
-    for j in range(w64):
-        hi = keys32[:, 2 * j].astype(np.uint64)
-        lo = (
-            keys32[:, 2 * j + 1].astype(np.uint64)
-            if 2 * j + 1 < w
-            else np.zeros(m, np.uint64)
-        )
-        out[:, j] = (hi << np.uint64(32)) | lo
-    return out, counts
+    s, boundary, n_ok = step(windows, n)
+    return _compact_runs(np.asarray(s), np.asarray(boundary), int(n_ok), ref_k)

@@ -518,6 +518,116 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
     return run
 
 
+def make_sharded_ref_scan(mesh, k: int, ref_k: int, size_bits: int,
+                          n_shards: int, slice_chunk: int):
+    """Multi-device index-phase context scan (hot loop C, reference
+    main.cpp:382-401): contig positions are data-parallel (one slice per
+    device, ref_k-1 halo baked into each slice), every device probes the
+    replicated alt filter and hashes its own windows, and the context-
+    filter bit sets merge by word owner — the hit triples (word, bit)
+    all_gather within the axis (12 B/position — tiny next to the hashing)
+    and each shard applies only the bits in its contiguous word range via
+    the sort-dedup scatter (ops.bloom_jax.bloom_set).
+
+    scan(bf_words, ctx_shards, ref_slices, n_valid) -> ctx_shards
+      bf_words: (W,) replicated; ctx_shards: (S, W/S); ref_slices:
+      (S, slice_chunk + ref_k - 1) uint8; n_valid: (S, 1) int32.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.bloom_jax import bloom_set
+
+    off = (ref_k - k) // 2
+    wps = (size_bits // 32) // n_shards
+
+    def step(bf_words, ctx_shard, ref_slice, n_valid):
+        ctx_shard = ctx_shard[0]
+        ref_slice = ref_slice[0]
+        n_valid = n_valid[0, 0]
+        my = jax.lax.axis_index("shard")
+
+        cols = [
+            jax.lax.dynamic_slice(ref_slice, (j,), (slice_chunk,))
+            for j in range(ref_k)
+        ]
+        win = jnp.stack(cols, axis=1)
+        centers = seq.canonical_jax(win[:, off : off + k])
+        h = xxh3_64_jax(centers)
+        bw, bb = xxh3_mod_size(h, size_bits)
+        wv = jnp.take(bf_words, bw, axis=0)
+        hit = ((wv >> bb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
+        lane = jnp.arange(slice_chunk, dtype=jnp.int32)
+        hit = hit & (lane < n_valid)
+
+        ctxc = seq.canonical_jax(win)
+        h2 = xxh3_64_jax(ctxc)
+        cw, cb = xxh3_mod_size(h2, size_bits)
+
+        # merge by owner: gather every shard's triples, set local bits
+        cw = jax.lax.all_gather(cw, "shard", axis=0, tiled=True)
+        cb = jax.lax.all_gather(cb, "shard", axis=0, tiled=True)
+        hit = jax.lax.all_gather(hit, "shard", axis=0, tiled=True)
+        lcw = cw - my * wps
+        mine = hit & (lcw >= 0) & (lcw < wps)
+        return bloom_set(ctx_shard, lcw, cb, mask=mine)[None]
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P("shard"), P("shard"), P("shard")),
+        out_specs=P("shard"), check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def build_context_sharded(index, refs_used, cfg: Config, mesh,
+                          slice_chunk: int = 1 << 18) -> None:
+    """Multi-device equivalent of pipeline.build_index's context scan /
+    index.device.build_context_device: updates index.context_bf.words."""
+    import jax.numpy as jnp
+
+    S = mesh.devices.size
+    W = index.bf.words.shape[0]
+    assert W % S == 0
+    halo = cfg.ref_k - 1
+
+    # short contigs first, on host (mirrors build_context_device)
+    for ref in refs_used:
+        if len(ref) < cfg.ref_k:
+            off = cfg.center_off
+            if len(ref) > off:
+                sub = ref[off : off + cfg.k][None, :]
+                if index.bf.test_keys(sub)[0]:
+                    index.context_bf.add_keys(ref[: cfg.ref_k][None, :])
+
+    scan = make_sharded_ref_scan(
+        mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, slice_chunk
+    )
+    bf_words = jnp.asarray(index.bf.words)
+    ctx_shards = jnp.asarray(index.context_bf.words.reshape(S, W // S))
+    gchunk = S * slice_chunk
+    for ref in refs_used:
+        L = len(ref)
+        if L < cfg.ref_k:
+            continue
+        n_pos = L - cfg.ref_k + 1
+        for start in range(0, n_pos, gchunk):
+            slices = np.zeros((S, slice_chunk + halo), dtype=np.uint8)
+            n_valid = np.zeros((S, 1), dtype=np.int32)
+            for s in range(S):
+                p0 = start + s * slice_chunk
+                if p0 >= n_pos:
+                    break
+                nv = min(slice_chunk, n_pos - p0)
+                piece = ref[p0 : p0 + slice_chunk + halo]
+                slices[s, : piece.shape[0]] = piece
+                n_valid[s, 0] = nv
+            ctx_shards = scan(bf_words, ctx_shards, slices, n_valid)
+    index.context_bf.words = np.asarray(ctx_shards).reshape(-1)
+
+
 def apply_sample_counts_sharded(
     index, contexts: np.ndarray, counters: np.ndarray, cfg: Config, mesh,
     batch: int = 1 << 20, routed: bool = True,

@@ -23,10 +23,15 @@ def gen_reference(rng, length, iupac_rate=0.002):
     return "".join(seq)
 
 
-def gen_variants(rng, ref, n_var, n_samples, haploid=False, dense_frac=0.4):
+def gen_variants(rng, ref, n_var, n_samples, haploid=False, dense_frac=0.4,
+                 edge=False):
     """Returns list of VCF record dicts, position-sorted."""
     L = len(ref)
     positions = []
+    if edge:
+        # near-contig-end variants (within k of either end): upstream
+        # yields empty signatures -> 0/0:0 (var_block.hpp:104-111)
+        positions += [1, 3, 9, 20]
     i = 50
     while len(positions) < n_var and i < L - 60:
         if rng.random() < dense_frac:
@@ -36,9 +41,13 @@ def gen_variants(rng, ref, n_var, n_samples, haploid=False, dense_frac=0.4):
         i += step
         if i < L - 60:
             positions.append(i)
+    if edge:
+        positions += [L - 8, L - 3]
     records = []
     for pos in positions:
         r = rng.random()
+        if pos + 7 > L:  # end-edge: plain SNP only (ref must fit the contig)
+            r = 0.0
         if r < 0.6:  # SNP
             ref_a = ref[pos]
             n_alts = 1 if rng.random() < 0.8 else 2
@@ -150,10 +159,11 @@ def write_reads(path, ref, records, rng, n_reads=400, read_len=120, err=0.002):
             f.write(f">r{i}\n{''.join(read)}\n")
 
 
-def gen_case(tmpdir, seed, n_samples=4, haploid=False, ref_len=4000, n_var=60):
+def gen_case(tmpdir, seed, n_samples=4, haploid=False, ref_len=4000, n_var=60,
+             iupac_rate=0.002, edge=False):
     rng = np.random.default_rng(seed)
-    ref = gen_reference(rng, ref_len)
-    records = gen_variants(rng, ref, n_var, n_samples, haploid=haploid)
+    ref = gen_reference(rng, ref_len, iupac_rate=iupac_rate)
+    records = gen_variants(rng, ref, n_var, n_samples, haploid=haploid, edge=edge)
     fa = f"{tmpdir}/ref.fa"
     with open(fa, "w") as f:
         f.write(">ctg1\n")

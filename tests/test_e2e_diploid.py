@@ -91,3 +91,57 @@ def test_device_backend_end_to_end():
     call(cfg, index, out)
     golden = open(os.path.join(D, "golden.vcf")).read()
     assert out.getvalue() == golden
+
+
+def test_batch_distinct_samples_match_serial(tmp_path):
+    """call_batch over DISTINCT read sets == independent calls, byte for
+    byte (exercises the per-sample counter planes + shared VCF pass)."""
+    import numpy as np
+
+    from malva_tpu.pipeline import call_batch
+
+    def _cfg():
+        return Config(
+            fasta_path=os.path.join(D, "ref.fa"),
+            vcf_path=os.path.join(D, "vars.vcf"),
+            sample_path=os.path.join(D, "reads.fa"),
+            bf_size=Config.bf_gb_to_bits(1),
+        )
+
+    rng = np.random.default_rng(99)
+    samples = []
+    src = open(os.path.join(D, "reads.fa"), "rb").read().splitlines()
+    for s in range(3):
+        # mutate a few read bases so counters genuinely differ per sample
+        lines = []
+        for ln in src:
+            if ln.startswith(b">") or rng.random() > 0.5:
+                lines.append(ln)
+                continue
+            b = bytearray(ln)
+            for _ in range(3):
+                b[rng.integers(0, len(b))] = ord("ACGT"[rng.integers(0, 4)])
+            lines.append(bytes(b))
+        p = tmp_path / f"s{s}.fa"
+        p.write_bytes(b"\n".join(lines) + b"\n")
+        samples.append(str(p))
+
+    cfg = _cfg()
+    index = build_index(cfg)
+    serial = []
+    for p in samples:
+        c = _cfg()
+        c.sample_path = p
+        from malva_tpu.pipeline import _reset_counters
+
+        _reset_counters(index)
+        out = io.StringIO()
+        call(c, index, out)
+        serial.append(out.getvalue())
+
+    _reset_counters(index)
+    index2 = build_index(cfg)
+    outs = [io.StringIO() for _ in samples]
+    call_batch(cfg, index2, samples, outs)
+    for got, want in zip(outs, serial):
+        assert got.getvalue() == want

@@ -66,10 +66,17 @@ def run_pipeline(fa, vcf, reads, haploid, samples="-"):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed,haploid", [(1, False), (2, False), (3, True), (4, False)])
-def test_fuzz_matches_oracle(oracle_bin, tmp_path, seed, haploid):
+@pytest.mark.parametrize("seed,haploid,kw", [
+    (1, False, {}), (2, False, {}), (3, True, {}), (4, False, {}),
+    (5, False, {}), (6, True, {}),
+    # near-contig-end variants (empty signatures -> 0/0:0 quirk)
+    (8, False, {"edge": True}), (9, True, {"edge": True}),
+    # IUPAC-dense reference (NUL-complement canonical forms everywhere)
+    (10, False, {"iupac_rate": 0.05}), (11, True, {"iupac_rate": 0.05}),
+])
+def test_fuzz_matches_oracle(oracle_bin, tmp_path, seed, haploid, kw):
     d = str(tmp_path)
-    fa, vcf, reads = gen_case(d, seed, haploid=haploid)
+    fa, vcf, reads = gen_case(d, seed, haploid=haploid, **kw)
     want = run_oracle(oracle_bin, fa, vcf, reads, haploid, d)
     got = run_pipeline(fa, vcf, reads, haploid)
     if got != want:
@@ -106,6 +113,8 @@ def test_fuzz_sample_subset_matches_oracle(oracle_bin, tmp_path):
         (["-e", "0.01"], dict(error_rate=np.float32(0.01))),
         (["-c", "3"], dict(max_coverage=3)),  # triggers over-coverage path
         (["-k", "21", "-r", "31"], dict(k=21, ref_k=31)),
+        (["-k", "31", "-r", "31"], dict(k=31, ref_k=31)),  # -r == -k edge
+        (["-k", "17", "-r", "48"], dict(k=17, ref_k=48)),  # ref_k % 16 == 0
     ],
 )
 def test_fuzz_flag_combos_match_oracle(oracle_bin, tmp_path, extra, cfg_kw):
@@ -130,3 +139,22 @@ def test_fuzz_flag_combos_match_oracle(oracle_bin, tmp_path, extra, cfg_kw):
     buf = io.StringIO()
     call(cfg, index, buf)
     assert buf.getvalue() == want
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,haploid", [(13, False), (14, True)])
+def test_fuzz_bcf_input_matches_oracle(oracle_bin, tmp_path, seed, haploid):
+    """Fuzz case with the variants converted to binary BCF: our pipeline
+    reading BCF must equal the oracle reading the text VCF."""
+    from malva_tpu.io.bcf import write_bcf
+    from malva_tpu.io.vcf import VcfReader
+
+    d = str(tmp_path)
+    fa, vcf, reads = gen_case(d, seed, haploid=haploid)
+    want = run_oracle(oracle_bin, fa, vcf, reads, haploid, d)
+
+    r = VcfReader(vcf)
+    bcf = f"{d}/vars.bcf"
+    write_bcf(bcf, r.meta_lines, r.sample_names, list(r), freq_key="AF")
+    got = run_pipeline(fa, bcf, reads, haploid)
+    assert got == want

@@ -110,3 +110,45 @@ def test_count_distributed_single_host_matches_plain(tmp_path):
     dist_k, dist_c = count_distributed([str(fq)], cfg)
     np.testing.assert_array_equal(dist_k, plain_k)
     np.testing.assert_array_equal(dist_c, plain_c)
+
+
+def test_sharded_ref_scan_parity():
+    """Multi-device index-phase context scan == host scan (hot loop C)."""
+    import jax
+
+    from malva_tpu.parallel.mesh import make_mesh
+    from malva_tpu.parallel.sharded_index import build_context_sharded
+
+    cfg = Config(k=35, ref_k=43, bf_size=1 << 20)
+    rng = np.random.default_rng(21)
+    alpha = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    refs = [alpha[rng.integers(0, 5, size=n)] for n in (4000, 37, 700)]
+
+    host_idx = _index(cfg, seed=5)[0]
+    shard_idx = _index(cfg, seed=5)[0]
+    for ref in refs:
+        for start in (10, 150, 800):
+            if start + 39 <= len(ref):
+                host_idx.bf.add_keys(ref[start + 4 : start + 39][None, :])
+                shard_idx.bf.add_keys(ref[start + 4 : start + 39][None, :])
+
+    # host scan (as in pipeline.build_index)
+    off = cfg.center_off
+    for ref in refs:
+        if len(ref) < cfg.ref_k:
+            if len(ref) > off:
+                sub = ref[off : off + cfg.k][None, :]
+                if host_idx.bf.test_keys(sub)[0]:
+                    host_idx.context_bf.add_keys(ref[: cfg.ref_k][None, :])
+            continue
+        n_pos = len(ref) - cfg.ref_k + 1
+        windows = np.lib.stride_tricks.sliding_window_view(ref, cfg.ref_k)[:n_pos]
+        hits = host_idx.bf.test_keys(np.ascontiguousarray(windows[:, off : off + cfg.k]))
+        if hits.any():
+            host_idx.context_bf.add_keys(np.ascontiguousarray(windows[hits]))
+
+    mesh = make_mesh(len(jax.devices()))
+    build_context_sharded(shard_idx, refs, cfg, mesh, slice_chunk=256)
+    np.testing.assert_array_equal(
+        host_idx.context_bf.words, shard_idx.context_bf.words
+    )
