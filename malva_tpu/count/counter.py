@@ -72,31 +72,78 @@ def _merge_runs(
     return keys[starts], summed
 
 
-def load_kmc_dump(path: str, ref_k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Read a `kmc_dump` text file (``KMER<TAB>COUNT`` per line) — the
-    reference consumes the same data through the KMC API (main.cpp:488).
-    Lets a user cross-validate against a real KMC database or reuse one.
-    """
+def _parse_dump_block(block: bytes, ref_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized parse of whole lines of ``KMER<ws>COUNT``.  The k-mer
+    column is fixed-width (ref_k), so lines are validated by checking the
+    byte at offset ref_k is whitespace; counts are parsed positionally
+    (digit-by-digit over the block, <= 10 iterations)."""
+    a = np.frombuffer(block, dtype=np.uint8)
+    nl = np.nonzero(a == 0x0A)[0]
+    starts = np.concatenate([[0], nl[:-1] + 1]) if nl.size else np.zeros(0, np.int64)
+    ends = nl  # exclusive of the newline
+    lens = ends - starts
+    nonempty = lens > 0
+    starts, ends, lens = starts[nonempty], ends[nonempty], lens[nonempty]
+    if starts.size == 0:
+        return np.zeros((0, ref_k), np.uint8), np.zeros(0, np.uint32)
+    sep = a[np.minimum(starts + ref_k, a.shape[0] - 1)]
+    bad = (lens <= ref_k) | ((sep != 0x09) & (sep != 0x20))
+    if bad.any():
+        i = int(np.nonzero(bad)[0][0])
+        line = block[starts[i] : ends[i]]
+        tok = line.split()[0] if line.split() else b""
+        raise ValueError(f"kmc dump k-mer length {len(tok)} != ref_k {ref_k}")
+    kmers = upper(a[starts[:, None] + np.arange(ref_k)])
+    # positional integer parse of the count field (stops at any non-digit,
+    # so trailing \r is harmless)
+    cstart = starts + ref_k + 1
+    counts = np.zeros(starts.shape[0], dtype=np.uint64)
+    alive = np.ones(starts.shape[0], dtype=bool)
+    for j in range(20):
+        p = cstart + j
+        inb = p < ends
+        d = np.where(inb, a[np.minimum(p, a.shape[0] - 1)], np.uint8(0))
+        is_digit = (d >= 0x30) & (d <= 0x39)
+        alive = alive & inb & is_digit
+        if not alive.any():
+            break
+        counts = np.where(alive, counts * 10 + (d - 0x30), counts)
+    return kmers, counts.astype(np.uint32)
+
+
+def iter_kmc_dump(path: str, ref_k: int, chunk_bytes: int = 1 << 26):
+    """Stream a `kmc_dump` text file (``KMER<TAB>COUNT`` per line) as
+    ((M, ref_k) uint8, (M,) uint32) batches of ~chunk_bytes each — a WGS
+    dump is tens of GB and must never materialize whole (the reference
+    consumes the same data incrementally through the KMC API,
+    main.cpp:488)."""
     import gzip
 
     op = gzip.open if path.endswith(".gz") else open
-    kmers: list[bytes] = []
-    counts: list[int] = []
+    carry = b""
     with op(path, "rb") as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) != 2:
-                continue
-            if len(parts[0]) != ref_k:
-                raise ValueError(
-                    f"kmc dump k-mer length {len(parts[0])} != ref_k {ref_k}"
-                )
-            kmers.append(parts[0].upper())
-            counts.append(int(parts[1]))
-    if not kmers:
+        while True:
+            block = f.read(chunk_bytes)
+            if not block:
+                break
+            block = carry + block
+            cut = block.rfind(b"\n") + 1
+            carry = block[cut:]
+            if cut:
+                yield _parse_dump_block(block[:cut], ref_k)
+    if carry:
+        yield _parse_dump_block(carry + b"\n", ref_k)
+
+
+def load_kmc_dump(path: str, ref_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-file convenience wrapper over :func:`iter_kmc_dump`."""
+    ks, cs = [], []
+    for k_arr, c_arr in iter_kmc_dump(path, ref_k):
+        ks.append(k_arr)
+        cs.append(c_arr)
+    if not ks:
         return np.zeros((0, ref_k), np.uint8), np.zeros(0, np.uint32)
-    arr = np.frombuffer(b"".join(kmers), dtype=np.uint8).reshape(-1, ref_k)
-    return arr, np.asarray(counts, dtype=np.uint32)
+    return np.concatenate(ks), np.concatenate(cs)
 
 
 def count_reads_kmers(

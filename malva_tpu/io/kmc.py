@@ -60,11 +60,10 @@ def _counts_from_lut(lut: np.ndarray, n: int) -> np.ndarray:
     return np.diff(lut).astype(np.int64)
 
 
-def read_kmc_db(prefix_path: str):
-    """Read a KMC database; returns (kmers_ascii (N, k) uint8, counts
-    uint32, info dict).  Accepts KMC1 (version 0) and KMC2/3 (0x200)."""
+def read_kmc_pre(prefix_path: str):
+    """Parse the .kmc_pre file: returns (lut uint64 array, info dict).
+    Accepts KMC1 (version 0) and KMC2/3 (0x200)."""
     pre = prefix_path + ".kmc_pre"
-    suf = prefix_path + ".kmc_suf"
     with open(pre, "rb") as f:
         data = f.read()
     if data[:4] != _PRE_MARKER or data[-4:] != _PRE_MARKER:
@@ -96,40 +95,31 @@ def read_kmc_db(prefix_path: str):
         lut_end -= ((1 << (2 * signature_len)) + 1) * 4  # signature map
     lut = np.frombuffer(data, dtype="<u8", offset=4, count=(lut_end - 4) // 8)
 
-    with open(suf, "rb") as f:
-        sdata = f.read()
-    if sdata[:4] != _SUF_MARKER or sdata[-4:] != _SUF_MARKER:
-        raise ValueError(f"{suf}: bad KMCS markers")
-    suffix_bytes = (kmer_length - lut_prefix_length) // 4
-    rec = suffix_bytes + counter_size
-    body = np.frombuffer(sdata, dtype=np.uint8, offset=4,
-                         count=len(sdata) - 8)
-    if body.shape[0] != total_kmers * rec:
-        raise ValueError(
-            f"{suf}: {body.shape[0]} record bytes != "
-            f"{total_kmers} x {rec}"
-        )
-    body = body.reshape(int(total_kmers), rec)
+    info = dict(
+        kmer_length=kmer_length, mode=mode, counter_size=counter_size,
+        lut_prefix_length=lut_prefix_length, signature_len=signature_len,
+        min_count=min_count, max_count=max_count, total_kmers=total_kmers,
+        both_strands=both_strands, version=version,
+    )
+    return lut, info
 
-    # counters: little-endian counter_size bytes
-    counts = np.zeros(int(total_kmers), dtype=np.uint32)
+
+def _decode_records(body: np.ndarray, prefix_of: np.ndarray, info: dict
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(records (M, rec) uint8, LUT prefix values (M,)) -> (kmers ASCII
+    (M, k) uint8, counts (M,) uint32)."""
+    kmer_length = info["kmer_length"]
+    lut_prefix_length = info["lut_prefix_length"]
+    counter_size = info["counter_size"]
+    suffix_bytes = (kmer_length - lut_prefix_length) // 4
+    m = body.shape[0]
+
+    counts = np.zeros(m, dtype=np.uint32)
     for b in range(counter_size):
         counts |= body[:, suffix_bytes + b].astype(np.uint32) << np.uint32(8 * b)
 
-    # k-mer ASCII: prefix bits from the LUT position, then suffix bytes
-    n = int(total_kmers)
-    per_prefix = _counts_from_lut(lut, n)
-    prefix_of = np.repeat(
-        np.arange(per_prefix.shape[0], dtype=np.int64), per_prefix
-    )
-    if prefix_of.shape[0] != n:
-        raise ValueError(f"{pre}: LUT covers {prefix_of.shape[0]} of {n} records")
-    # v2 LUT may span multiple bins; the prefix VALUE is the position
-    # modulo 4^lut_prefix_length
-    prefix_of &= (1 << (2 * lut_prefix_length)) - 1
-
     decode = np.frombuffer(b"ACGT", dtype=np.uint8)
-    out = np.empty((n, kmer_length), dtype=np.uint8)
+    out = np.empty((m, kmer_length), dtype=np.uint8)
     for j in range(lut_prefix_length):
         sh = 2 * (lut_prefix_length - 1 - j)
         out[:, j] = decode[(prefix_of >> sh) & 3]
@@ -137,14 +127,59 @@ def read_kmc_db(prefix_path: str):
         byte = body[:, j // 4]
         sh = 2 * (3 - (j % 4))
         out[:, lut_prefix_length + j] = decode[(byte >> sh) & 3]
+    return out, counts
 
-    info = dict(
-        kmer_length=kmer_length, mode=mode, counter_size=counter_size,
-        lut_prefix_length=lut_prefix_length, signature_len=signature_len,
-        min_count=min_count, max_count=max_count, total_kmers=total_kmers,
-        both_strands=both_strands, version=version,
-    )
-    return out, counts, info
+
+def iter_kmc_db(prefix_path: str, batch_kmers: int = 1 << 22):
+    """Stream a KMC database as ((M, k) uint8 ASCII, (M,) uint32) batches —
+    a WGS database holds billions of records and must never materialize
+    whole.  The LUT prefix of each record is recovered by binary search of
+    the record index in the cumulative LUT (identical to the repeat-based
+    whole-file decode)."""
+    lut, info = read_kmc_pre(prefix_path)
+    suf = prefix_path + ".kmc_suf"
+    n = int(info["total_kmers"])
+    suffix_bytes = (info["kmer_length"] - info["lut_prefix_length"]) // 4
+    rec = suffix_bytes + info["counter_size"]
+    pref_mask = (1 << (2 * info["lut_prefix_length"])) - 1
+    lut_c = np.minimum(lut.astype(np.int64), n)
+    if int(_counts_from_lut(lut, n).sum()) != n:
+        raise ValueError(
+            f"{prefix_path}.kmc_pre: LUT covers "
+            f"{int(_counts_from_lut(lut, n).sum())} of {n} records"
+        )
+    size = os.path.getsize(suf)
+    if size != n * rec + 8:
+        raise ValueError(f"{suf}: {size - 8} record bytes != {n} x {rec}")
+    with open(suf, "rb") as f:
+        if f.read(4) != _SUF_MARKER:
+            raise ValueError(f"{suf}: bad KMCS markers")
+        at = 0
+        while at < n:
+            m = min(batch_kmers, n - at)
+            raw = f.read(m * rec)
+            body = np.frombuffer(raw, dtype=np.uint8).reshape(m, rec)
+            idx = np.arange(at, at + m, dtype=np.int64)
+            prefix_of = (np.searchsorted(lut_c, idx, side="right") - 1) & pref_mask
+            yield _decode_records(body, prefix_of, info)
+            at += m
+        if f.read(4) != _SUF_MARKER:
+            raise ValueError(f"{suf}: bad KMCS markers")
+
+
+def read_kmc_db(prefix_path: str):
+    """Whole-file read of a KMC database; returns (kmers_ascii (N, k)
+    uint8, counts uint32, info dict).  Use :func:`iter_kmc_db` for
+    databases that do not fit RAM."""
+    _, info = read_kmc_pre(prefix_path)
+    ks, cs = [], []
+    for k_arr, c_arr in iter_kmc_db(prefix_path):
+        ks.append(k_arr)
+        cs.append(c_arr)
+    if not ks:
+        return (np.zeros((0, info["kmer_length"]), np.uint8),
+                np.zeros(0, np.uint32), info)
+    return np.concatenate(ks), np.concatenate(cs), info
 
 
 def write_kmc_db(prefix_path: str, kmers: np.ndarray, counts: np.ndarray,

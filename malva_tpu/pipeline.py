@@ -357,6 +357,9 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
             for keys, cnts in batches:
                 apply_sample_counts(index, _as_ascii(keys, cfg.ref_k), cnts, cfg)
         timer.pelapsed("Sample k-mer counting + BF weights (spill)")
+    elif cfg.from_kmc_dump or cfg.from_kmc_db:
+        _apply_kmc_stream(cfg, index, cfg.sample_path)
+        timer.pelapsed("Sample k-mer stream + BF weights")
     else:
         contexts, counts = _sample_kmers(cfg, cfg.sample_path)
         timer.pelapsed("Sample k-mer counting")
@@ -369,6 +372,47 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
         timer.pelapsed("BF weights created")
 
     _genotype_and_emit(cfg, index, refs, out, timer)
+
+
+def _kmc_batches(cfg: Config, path: str):
+    """Stream an external KMC artifact (text dump or binary DB) as
+    (contexts_ascii, counts) batches — never materializing the distinct
+    set (a WGS dump/database is tens of GB)."""
+    if cfg.from_kmc_dump:
+        from .count.counter import iter_kmc_dump
+
+        return iter_kmc_dump(path, cfg.ref_k)
+    from .io.kmc import iter_kmc_db, read_kmc_pre
+
+    _, info = read_kmc_pre(path)
+    if info["kmer_length"] != cfg.ref_k:
+        raise ValueError(
+            f"KMC database k={info['kmer_length']} != ref_k {cfg.ref_k}"
+        )
+    return iter_kmc_db(path)
+
+
+def _kmc_est_kmers(cfg: Config, path: str) -> int:
+    """Estimated k-mer count of an external KMC artifact (device routing)."""
+    if cfg.from_kmc_db:
+        from .io.kmc import read_kmc_pre
+
+        return int(read_kmc_pre(path)[1]["total_kmers"])
+    try:
+        return os.path.getsize(path) // (cfg.ref_k + 4)
+    except OSError:
+        return 0
+
+
+def _apply_kmc_stream(cfg: Config, index: Index, path: str, dev=None) -> None:
+    batches = _kmc_batches(cfg, path)
+    if _resolve_backend(cfg, _kmc_est_kmers(cfg, path), DEVICE_MIN_KMERS) == "device":
+        from .index.device import apply_sample_counts_stream
+
+        apply_sample_counts_stream(index, batches, cfg, dev=dev)
+    else:
+        for contexts, counts in batches:
+            apply_sample_counts(index, contexts, counts, cfg)
 
 
 def _sample_kmers(cfg: Config, path: str):
@@ -455,15 +499,24 @@ def call_batch(
     planes: list[tuple[np.ndarray, dict]] = []
     for sample_path in sample_paths:
         _reset_counters(index)
-        contexts, counts = _sample_kmers(cfg, sample_path)
-        if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
-            from .index.device import DeviceIndex, apply_sample_counts_device
+        if cfg.from_kmc_dump or cfg.from_kmc_db:
+            if dev is None and _resolve_backend(
+                cfg, _kmc_est_kmers(cfg, sample_path), DEVICE_MIN_KMERS
+            ) == "device":
+                from .index.device import DeviceIndex
 
-            if dev is None:
                 dev = DeviceIndex.from_host(index, cfg)
-            apply_sample_counts_device(index, contexts, counts, cfg, dev=dev)
+            _apply_kmc_stream(cfg, index, sample_path, dev=dev)
         else:
-            apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
+            contexts, counts = _sample_kmers(cfg, sample_path)
+            if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
+                from .index.device import DeviceIndex, apply_sample_counts_device
+
+                if dev is None:
+                    dev = DeviceIndex.from_host(index, cfg)
+                apply_sample_counts_device(index, contexts, counts, cfg, dev=dev)
+            else:
+                apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
         planes.append((index.bf.counts, dict(index.ref_bf.kmers)))
         index.bf.counts = np.zeros_like(index.bf.counts)
         timer.pelapsed(f"Counters ready: {sample_path}")

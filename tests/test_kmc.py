@@ -105,3 +105,93 @@ def test_kmc_db_pipeline_byte_identical(tmp_path, haploid_inputs):
     call(cfg, index, out)
     golden = open("/root/reference/example/haploid.malva.vcf").read()
     assert out.getvalue() == golden
+
+
+def test_iter_kmc_db_streaming_matches_whole(tmp_path):
+    """iter_kmc_db with a tiny batch size == whole-file read (WGS DBs are
+    consumed batch-by-batch; the LUT binary search must agree with the
+    repeat-based decode, including empty prefixes)."""
+    from malva_tpu.io.kmc import iter_kmc_db
+
+    kmers, counts = _canon_kmers(3000, 43, seed=7)
+    prefix = str(tmp_path / "db")
+    write_kmc_db(prefix, kmers, counts)
+    whole_k, whole_c, _ = read_kmc_db(prefix)
+    got_k, got_c = [], []
+    for bk, bc in iter_kmc_db(prefix, batch_kmers=257):
+        assert bk.shape[0] <= 257
+        got_k.append(bk)
+        got_c.append(bc)
+    np.testing.assert_array_equal(np.concatenate(got_k), whole_k)
+    np.testing.assert_array_equal(np.concatenate(got_c), whole_c)
+
+
+def test_iter_kmc_dump_streaming(tmp_path):
+    """Chunked text-dump parse == whole-file parse; counts parsed
+    positionally; lowercase uppercased; CRLF tolerated; bad k raises."""
+    import gzip
+
+    from malva_tpu.count.counter import iter_kmc_dump, load_kmc_dump
+
+    kmers, counts = _canon_kmers(997, 43, seed=3)
+    path = tmp_path / "d.txt"
+    with open(path, "wb") as f:
+        for i in range(kmers.shape[0]):
+            row = kmers[i].tobytes()
+            if i % 3 == 0:
+                row = row.lower()
+            eol = b"\r\n" if i % 5 == 0 else b"\n"
+            f.write(row + b"\t" + str(counts[i]).encode() + eol)
+    whole_k, whole_c = load_kmc_dump(str(path), 43)
+    np.testing.assert_array_equal(whole_k, kmers)
+    np.testing.assert_array_equal(whole_c, counts)
+    got = list(iter_kmc_dump(str(path), 43, chunk_bytes=301))
+    np.testing.assert_array_equal(np.concatenate([k for k, _ in got]), kmers)
+    np.testing.assert_array_equal(np.concatenate([c for _, c in got]), counts)
+
+    gz = tmp_path / "d.txt.gz"
+    with open(path, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    gz_k, gz_c = load_kmc_dump(str(gz), 43)
+    np.testing.assert_array_equal(gz_k, kmers)
+    np.testing.assert_array_equal(gz_c, counts)
+
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"ACGT\t5\n")
+    with pytest.raises(ValueError):
+        load_kmc_dump(str(bad), 43)
+
+
+def test_kmc_stream_pipeline_byte_identical(tmp_path, haploid_inputs):
+    """call with --from-kmc consuming the DB as a STREAM (batched) equals
+    the whole-array path byte-for-byte."""
+    from malva_tpu import pipeline
+    from malva_tpu.count.counter import count_reads_kmers
+    from malva_tpu.utils.config import Config
+
+    d = haploid_inputs
+    fa, vcf, fq = str(d / "haploid.fa"), str(d / "haploid.vcf"), str(d / "haploid.fq")
+    kmers, counts = count_reads_kmers(fq, 43, log=open(os.devnull, "w"))
+    prefix = str(tmp_path / "db")
+    write_kmc_db(prefix, kmers, counts)
+
+    base = dict(fasta_path=fa, vcf_path=vcf, k=35, ref_k=43,
+                bf_size=1 << 33, freq_key="AF", haploid=True, backend="host")
+    outs = []
+    for _ in range(2):
+        cfg = Config(sample_path=prefix, from_kmc_db=True, **base)
+        idx = pipeline.build_index(cfg)
+        buf = io.StringIO()
+        pipeline.call(cfg, idx, out=buf)
+        outs.append(buf.getvalue())
+    # second run consumed via the whole-array loader
+    cfg = Config(sample_path=prefix, from_kmc_db=True, **base)
+    idx = pipeline.build_index(cfg)
+    from malva_tpu.io.kmc import load_kmc_db
+
+    contexts, cnts = load_kmc_db(prefix, 43)
+    pipeline.apply_sample_counts(idx, contexts, cnts, cfg)
+    buf = io.StringIO()
+    pipeline._genotype_and_emit(cfg, idx, pipeline.load_reference(fa, False), buf,
+                                pipeline.PhaseTimer())
+    assert outs[0] == outs[1] == buf.getvalue()
