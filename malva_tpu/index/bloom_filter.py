@@ -32,7 +32,11 @@ class BF:
 
     # -- hashing -----------------------------------------------------------
     def _indices(self, kmers: np.ndarray) -> np.ndarray:
-        h = xxh3_64(canonical(kmers))
+        from ..utils import native
+
+        h = native.canonical_xxh3(kmers) if len(kmers) else None
+        if h is None:
+            h = xxh3_64(canonical(kmers))
         return h % np.uint64(self.size)
 
     # -- write mode --------------------------------------------------------

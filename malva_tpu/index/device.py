@@ -394,28 +394,49 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
         cap = max(256, batch // 16)
     cap = min(cap, batch)
     kv_len = n_buckets * SLOTS
+    assert batch < (1 << 31), "sort key packs lane into 31 bits"
     if use_pallas:
         assert batch % 128 == 0, "Pallas front end needs batch % 128 == 0"
-        hash_fn = make_callstep_hash_fn(k, ref_k, interpret=interpret)
+        hash_fn = make_callstep_hash_fn(k, ref_k, interpret=interpret,
+                                        with_ctx=False)
 
     def frontend(ctx_packed):
-        """-> (ctx_hi, ctx_lo, c_hi, c_lo, packed_center (B, w_k))."""
+        """-> (c_hi, c_lo, packed_center (B, w_k)).  The context hash is
+        NOT computed here: only "interesting" lanes (alt-filter hit or
+        exact-map candidate) ever test the context filter, so it is
+        deferred to the cap-sized tail — roughly halving the full-batch
+        VPU work of the front end."""
         if use_pallas:
             R = batch // 128
             mats = [ctx_packed[:, j].reshape(R, 128) for j in range(wc)]
             outs = hash_fn(*mats)
             flat = [o.reshape(-1) for o in outs]
-            return flat[0], flat[1], flat[2], flat[3], jnp.stack(flat[4:], axis=1)
+            return flat[0], flat[1], jnp.stack(flat[2:], axis=1)
         words = [ctx_packed[:, j] for j in range(wc)]
-        xh, xl = xxh3_64_cols(_decode_byte_cols(jnp, words, ref_k))
         cen = _extract_subpacked(jnp, words, (ref_k - k) // 2, k)
         can = _lex_min_packed(jnp, cen, _revcomp_packed(jnp, cen, k))
         ch, cl = xxh3_64_cols(_decode_byte_cols(jnp, can, k))
-        return xh, xl, ch, cl, jnp.stack(can, axis=1)
+        return ch, cl, jnp.stack(can, axis=1)
+
+    def ctx_hash_rows(rows):
+        """XXH3 of packed context rows ((M, wc) u32) -> (word, bit)."""
+        cols = [rows[:, j] for j in range(wc)]
+        xh, xl = xxh3_64_cols(_decode_byte_cols(jnp, cols, ref_k))
+        return xxh3_mod_size(jnp.stack([xh, xl], axis=1), size_bits)
+
+    def center_hash_rows(rows):
+        """Recompute (c_hi, c_lo, packed_center) for packed context rows —
+        bit-identical to the frontend, but on cap-sized inputs it is ~free
+        VPU work and lets the payload carry only the context words."""
+        cols = [rows[:, j] for j in range(wc)]
+        cen = _extract_subpacked(jnp, cols, (ref_k - k) // 2, k)
+        can = _lex_min_packed(jnp, cen, _revcomp_packed(jnp, cen, k))
+        ch, cl = xxh3_64_cols(_decode_byte_cols(jnp, can, k))
+        return ch, cl, jnp.stack(can, axis=1)
 
     def step(bf_packed, state, ctx_words, kmap_keys, ctx_packed, counters):
         counts_len = state.shape[0] - kv_len
-        xh, xl, chh, chl, packed = frontend(ctx_packed)
+        chh, chl, packed = frontend(ctx_packed)
         ch = jnp.stack([chh, chl], axis=1)
         bw, bb = xxh3_mod_size(ch, size_bits)
         row = jnp.take(bf_packed, bw, axis=0)  # (B, 2): word, rank(+mf)
@@ -436,56 +457,63 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
             kmap_cand = jnp.ones(batch, bool)
         interesting = is_set | kmap_cand
         n_int = jnp.sum(interesting.astype(jnp.int32))
-
-        cw, cb = xxh3_mod_size(jnp.stack([xh, xl], axis=1), size_bits)
-        bucket, bucket2 = bucket_pair_jax(chh, chl, n_buckets)
         counters_u = counters.astype(jnp.uint32)
 
-        def compact_path(state):
-            key = (~interesting).astype(jnp.uint32)
-            lane = jnp.arange(batch, dtype=jnp.int32)
-            _, perm = lax.sort((key, lane), num_keys=1)
-            sel = perm[:cap]
+        def make_compact_path(c: int):
+            """Tail of size c (c >= n_int at call time, by the cond tree)."""
 
-            flags = (
-                is_set.astype(jnp.uint32)
-                | (kmap_cand.astype(jnp.uint32) << 1)
-                | (cb.astype(jnp.uint32) << 2)
-            )
-            payload = jnp.stack(
-                [cnt_idx, counters_u, flags, cw.astype(jnp.uint32), bucket, bucket2]
-                + [packed[:, j] for j in range(w_k)],
-                axis=1,
-            )
-            p = jnp.take(payload, sel, axis=0)          # (cap, 6 + w_k) u32
-            p_cnt, p_counter, p_flags = p[:, 0], p[:, 1], p[:, 2]
-            p_set = (p_flags & jnp.uint32(1)).astype(bool)
-            p_cand = ((p_flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
-            p_cb = p_flags >> jnp.uint32(2)
-            p_cw = p[:, 3].astype(jnp.int32)
-            p_bucket = p[:, 4]
-            p_bucket2 = p[:, 5]
-            p_packed = p[:, 6 : 6 + w_k]
+            def compact_path(state):
+                # single-key sort: bit 31 = boring, low bits = lane (stable
+                # order identical to the 2-array sort, ~half its cost)
+                lane = jnp.arange(batch, dtype=jnp.uint32)
+                key = ((~interesting).astype(jnp.uint32) << 31) | lane
+                sel = (lax.sort(key)[:c] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
-            wv = jnp.take(ctx_words, p_cw, axis=0)
-            ctx_known = ((wv >> p_cb) & jnp.uint32(1)).astype(bool)
-            upd = p_set & ~ctx_known
+                flags = (
+                    is_set.astype(jnp.uint32)
+                    | (kmap_cand.astype(jnp.uint32) << 1)
+                )
+                # narrow payload: center hash/packed form and buckets are
+                # recomputed from the ctx words on the tail lanes (free VPU)
+                payload = jnp.stack(
+                    [cnt_idx, counters_u, flags]
+                    + [ctx_packed[:, j] for j in range(wc)],
+                    axis=1,
+                )
+                p = jnp.take(payload, sel, axis=0)      # (c, 3 + wc) u32
+                p_cnt, p_counter, p_flags = p[:, 0], p[:, 1], p[:, 2]
+                p_set = (p_flags & jnp.uint32(1)).astype(bool)
+                p_cand = ((p_flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
+                p_ctx = p[:, 3 : 3 + wc]
 
-            slot, found = probe_bucket_table(
-                kmap_keys, n_buckets, w_k, p_packed, None, None,
-                bucket=p_bucket, bucket2=p_bucket2,
-            )
-            idx = jnp.concatenate([
-                jnp.where(upd, p_cnt.astype(jnp.int32), jnp.int32(state.shape[0])),
-                jnp.where(found & p_cand, slot + counts_len, jnp.int32(state.shape[0])),
-            ])
-            vals = jnp.concatenate([p_counter, p_counter])
-            return state.at[idx].add(vals, mode="drop")
+                p_chh, p_chl, p_packed = center_hash_rows(p_ctx)
+                p_bucket, p_bucket2 = bucket_pair_jax(p_chh, p_chl, n_buckets)
+
+                # deferred context-filter test: hash only the tail lanes
+                p_cw, p_cb = ctx_hash_rows(p_ctx)
+                wv = jnp.take(ctx_words, p_cw, axis=0)
+                ctx_known = ((wv >> p_cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
+                upd = p_set & ~ctx_known
+
+                slot, found = probe_bucket_table(
+                    kmap_keys, n_buckets, w_k, p_packed, None, None,
+                    bucket=p_bucket, bucket2=p_bucket2,
+                )
+                idx = jnp.concatenate([
+                    jnp.where(upd, p_cnt.astype(jnp.int32), jnp.int32(state.shape[0])),
+                    jnp.where(found & p_cand, slot + counts_len, jnp.int32(state.shape[0])),
+                ])
+                vals = jnp.concatenate([p_counter, p_counter])
+                return state.at[idx].add(vals, mode="drop")
+
+            return compact_path
 
         def full_path(state):
+            cw, cb = ctx_hash_rows(ctx_packed)
             wv = jnp.take(ctx_words, cw, axis=0)
             ctx_known = ((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
             upd = (~ctx_known) & is_set
+            bucket, bucket2 = bucket_pair_jax(chh, chl, n_buckets)
             slot, found = probe_bucket_table(
                 kmap_keys, n_buckets, w_k, packed, None, None,
                 bucket=bucket, bucket2=bucket2,
@@ -497,7 +525,22 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
             vals = jnp.concatenate([counters_u, counters_u])
             return state.at[idx].add(vals, mode="drop")
 
-        return lax.cond(n_int <= cap, compact_path, full_path, state)
+        # tiered tails: every tail-sized access (payload/ctx gathers, probe,
+        # scatter) costs per row, so when few lanes are interesting — the
+        # overwhelmingly common case at WGS fill — a quarter/half tail
+        # halves the post-gather work again.  Results are identical for
+        # any tail >= n_int; the tree picks the smallest sufficient one.
+        tiers = sorted({cap, max(256, cap // 2), max(256, cap // 4)})
+
+        def dispatch(i, state):
+            if i == len(tiers):
+                return full_path(state)
+            return lax.cond(
+                n_int <= tiers[i], make_compact_path(tiers[i]),
+                lambda s: dispatch(i + 1, s), state,
+            )
+
+        return dispatch(0, state)
 
     return jax.jit(step, donate_argnums=(1,)) if donate else jax.jit(step)
 

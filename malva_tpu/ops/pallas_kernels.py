@@ -123,7 +123,7 @@ def _lex_min_packed(jnp, a, b):
 
 @functools.lru_cache(maxsize=None)
 def make_callstep_hash_fn(k: int, ref_k: int, tile_rows: int = 32,
-                          interpret: bool = False):
+                          interpret: bool = False, with_ctx: bool = True):
     """Fused call-step front end: the entire per-k-mer VPU workload of hot
     loop D (reference main.cpp:487-500) in one VMEM pass.
 
@@ -131,15 +131,18 @@ def make_callstep_hash_fn(k: int, ref_k: int, tile_rows: int = 32,
     matrices of shape (R, 128) — lane-major tiles of the batch
     (wc = ceil(ref_k/16)).  Per lane the kernel computes:
 
-    * the XXH3_64 of the context's ASCII form (decoded in VMEM),
+    * (``with_ctx`` only) the XXH3_64 of the context's ASCII form
+      (decoded in VMEM),
     * the packed canonical centered k-mer (revcomp + lexicographic min
       done in 2-bit space — ~60 ops instead of byte-wise compare chains),
     * the XXH3_64 of the canonical center's ASCII form.
 
-    Returns (ctx_hi, ctx_lo, c_hi, c_lo, can_0..can_{w_k-1}), each
+    Returns (ctx_hi, ctx_lo, c_hi, c_lo, can_0..can_{w_k-1}) — without the
+    first two when ``with_ctx=False`` (the lane-compacted call step only
+    needs the context hash for the few "interesting" lanes, so it defers
+    it to a cap-sized XLA pass and skips ~half the VPU work here) — each
     (R, 128) uint32.  Bit-identical to the XLA ops path (parity-tested);
-    the win is that no byte matrices or hash intermediates ever touch HBM:
-    traffic is wc*4 bytes in, (4+w_k)*4 bytes out per k-mer.
+    the win is that no byte matrices or hash intermediates ever touch HBM.
     """
     import jax
     import jax.numpy as jnp
@@ -151,25 +154,28 @@ def make_callstep_hash_fn(k: int, ref_k: int, tile_rows: int = 32,
     wc = (ref_k + 15) // 16
     w_k = (k + 15) // 16
     off = (ref_k - k) // 2
-    n_out = 4 + w_k
+    n_out = (4 if with_ctx else 2) + w_k
 
     def kernel(*refs):
         words = [r[:, :] for r in refs[:wc]]
         outs = refs[wc:]
 
-        ctx_cols = _decode_byte_cols(jnp, words, ref_k)
-        xh, xl = xxh3_64_cols(ctx_cols)
-        outs[0][:, :] = xh
-        outs[1][:, :] = xl
+        at = 0
+        if with_ctx:
+            ctx_cols = _decode_byte_cols(jnp, words, ref_k)
+            xh, xl = xxh3_64_cols(ctx_cols)
+            outs[0][:, :] = xh
+            outs[1][:, :] = xl
+            at = 2
 
         cen = _extract_subpacked(jnp, words, off, k)
         rc = _revcomp_packed(jnp, cen, k)
         can = _lex_min_packed(jnp, cen, rc)
         ch, cl = xxh3_64_cols(_decode_byte_cols(jnp, can, k))
-        outs[2][:, :] = ch
-        outs[3][:, :] = cl
+        outs[at][:, :] = ch
+        outs[at + 1][:, :] = cl
         for i in range(w_k):
-            outs[4 + i][:, :] = can[i]
+            outs[at + 2 + i][:, :] = can[i]
 
     def fn(*word_mats):
         R = word_mats[0].shape[0]

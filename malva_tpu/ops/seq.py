@@ -76,6 +76,12 @@ def canonical(kmers: np.ndarray) -> np.ndarray:
     the forward k-mer bytewise anyway).
     """
     kmers = np.asarray(kmers, dtype=np.uint8)
+    if kmers.ndim == 2 and kmers.size:
+        from ..utils import native
+
+        out = native.canonical(kmers)
+        if out is not None:
+            return out
     rc = revcomp(kmers)
     keep_fwd = _lex_less(kmers, rc)
     return np.where(keep_fwd[:, None], kmers, rc)
@@ -91,6 +97,12 @@ def truncate_at_nul(keys: np.ndarray) -> np.ndarray:
     tail is an exact model of the reference's key.
     """
     keys = np.asarray(keys, dtype=np.uint8)
+    if keys.ndim == 2 and keys.size:
+        from ..utils import native
+
+        out = native.truncate_nul(keys)
+        if out is not None:
+            return out
     nul = keys == 0
     seen = np.cumsum(nul, axis=1) > 0
     out = keys.copy()
@@ -110,6 +122,12 @@ def pack_2bit(kmers: np.ndarray) -> np.ndarray:
     """
     kmers = np.asarray(kmers, dtype=np.uint8)
     n, k = kmers.shape
+    if kmers.size:
+        from ..utils import native
+
+        out = native.pack2bit(kmers)
+        if out is not None:
+            return out
     codes = CODE_TABLE[kmers].astype(np.uint64)
     nwords = (k + 31) // 32
     out = np.zeros((n, nwords), dtype=np.uint64)

@@ -296,6 +296,12 @@ def xxh3_64(a: np.ndarray) -> np.ndarray:
     if a.ndim == 1:
         a = a[None, :]
     n, length = a.shape
+    if n:
+        from ..utils import native
+
+        out = native.xxh3_batch(a)
+        if out is not None:
+            return out
     with np.errstate(over="ignore"):
         if length == 0:
             return _len_0(n)

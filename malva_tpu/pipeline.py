@@ -20,6 +20,7 @@ from .index.kmap import KMAP
 from .io.fasta import load_reference
 from .io.vcf import cleaned_header, open_variant_reader
 from .models.genotype import format_variants, genotype_block
+from .utils import native
 from .utils.config import Config
 from .utils.timing import PhaseTimer
 from .variants.blocks import VB
@@ -286,46 +287,87 @@ def apply_sample_counts(
     index.bf.increment_keys(centers[sel], counts[sel])
 
 
-def _set_coverages(index: Index, vb: VB, kmers: dict) -> None:
-    """main.cpp:151-184: per-allele coverage = max over signatures of the
-    incremental integer mean of the nonzero k-mer counts."""
-    # batch all counts per (allele==0 ? kmap : bf) grouped by kmer length
-    queries: dict[tuple[bool, int], list[bytes]] = {}
-    for _v_idx, per_allele in kmers.items():
-        for allele_idx, signatures in per_allele.items():
-            is_ref = allele_idx == 0
-            for sig in signatures:
-                for kmer in sig:
-                    queries.setdefault((is_ref, len(kmer)), []).append(kmer)
-    counts: dict[tuple[bool, bytes], int] = {}
-    for (is_ref, length), kmer_list in queries.items():
-        if length == 0:
-            continue
-        arr = np.frombuffer(b"".join(kmer_list), dtype=np.uint8).reshape(-1, length)
+def _set_coverages_group(index: Index, group: list[tuple[list, dict]]) -> None:
+    """main.cpp:151-184 batched across many variant blocks: per-allele
+    coverage = max over signatures of the incremental integer mean of the
+    nonzero k-mer counts.  ``group`` is [(variants, kmers_dict), ...].
+
+    One flattening pass assigns every k-mer occurrence a slot and records
+    signature/allele boundaries as run lengths; queries are issued as one
+    batch per (is_ref, length) over the UNIQUE k-mers of that batch, and
+    the sequential mean/max scan runs in the native kernel
+    (malva_coverage) — no per-k-mer Python dict in the hot pass."""
+    # (is_ref, length) -> (uniq kmer -> uniq idx, slot ids, uniq idx per slot)
+    by_q: dict[tuple[bool, int], tuple[dict, list[int], list[int]]] = {}
+    sig_lens: list[int] = []
+    allele_nsig: list[int] = []
+    targets: list[tuple[list, int, int]] = []
+    slot = 0
+    for variants, kmers in group:
+        for v_idx, per_allele in kmers.items():
+            for allele_idx, signatures in per_allele.items():
+                is_ref = allele_idx == 0
+                for sig in signatures:
+                    nk = 0
+                    for kmer in sig:
+                        if not kmer:
+                            continue  # zero-length: count 0, scan skips it
+                        g = by_q.get((is_ref, len(kmer)))
+                        if g is None:
+                            g = by_q[(is_ref, len(kmer))] = ({}, [], [])
+                        uniq, slots_l, uidx_l = g
+                        ui = uniq.get(kmer)
+                        if ui is None:
+                            ui = uniq[kmer] = len(uniq)
+                        slots_l.append(slot)
+                        uidx_l.append(ui)
+                        slot += 1
+                        nk += 1
+                    sig_lens.append(nk)
+                allele_nsig.append(len(signatures))
+                targets.append((variants, v_idx, allele_idx))
+
+    w_flat = np.zeros(slot, dtype=np.int64)
+    for (is_ref, length), (uniq, slots_l, uidx_l) in by_q.items():
+        arr = np.frombuffer(b"".join(uniq), dtype=np.uint8).reshape(-1, length)
         vals = (
             index.ref_bf.get_counts(arr)
             if is_ref
             else index.bf.get_counts(arr).astype(np.int64)
         )
-        for kmer, w in zip(kmer_list, vals.tolist()):
-            counts[(is_ref, kmer)] = w
+        w_flat[np.asarray(slots_l, dtype=np.int64)] = vals[
+            np.asarray(uidx_l, dtype=np.int64)
+        ]
 
-    for v_idx, per_allele in kmers.items():
-        for allele_idx, signatures in per_allele.items():
-            is_ref = allele_idx == 0
-            allele_cov = 0
-            for sig in signatures:
-                curr_cov = 0
+    sl = np.asarray(sig_lens, dtype=np.int64)
+    an = np.asarray(allele_nsig, dtype=np.int64)
+    cov = native.coverage(w_flat, sl, an)
+    if cov is None:  # pure-Python mirror of native/host_kernels.cpp
+        cov = np.zeros(an.shape[0], dtype=np.int64)
+        sig_off = np.concatenate([[0], np.cumsum(sl)])
+        s = 0
+        for a, nsig in enumerate(allele_nsig):
+            best = 0
+            for _ in range(nsig):
+                curr = 0
                 n = 0
-                for kmer in sig:
-                    w = counts.get((is_ref, kmer), 0)
+                for w in w_flat[sig_off[s] : sig_off[s + 1]].tolist():
                     if w > 0:
-                        curr_cov = (curr_cov * n + w) // (n + 1)
+                        curr = (curr * n + w) // (n + 1)
                         n += 1
-                if curr_cov > allele_cov:
-                    allele_cov = curr_cov
-            if allele_idx >= 0:
-                vb.variants[v_idx].set_coverage(allele_idx, allele_cov)
+                s += 1
+                if curr > best:
+                    best = curr
+            cov[a] = best
+
+    for (variants, v_idx, allele_idx), c in zip(targets, cov.tolist()):
+        if allele_idx >= 0:
+            variants[v_idx].set_coverage(allele_idx, c)
+
+
+def _set_coverages(index: Index, vb: VB, kmers: dict) -> None:
+    """Single-block convenience wrapper over :func:`_set_coverages_group`."""
+    _set_coverages_group(index, [(vb.variants, kmers)])
 
 
 def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = None) -> None:
@@ -439,12 +481,38 @@ def _as_ascii(contexts: np.ndarray, ref_k: int) -> np.ndarray:
     return unpack_2bit(contexts, ref_k) if contexts.dtype == np.uint64 else contexts
 
 
+# Pass-2 group size: blocks are coverage-queried/genotyped/emitted in
+# groups so the BF/KMAP batches and the native genotype call amortize
+# across thousands of (tiny) blocks.  Bounded by queued k-mer count.
+GROUP_KMERS = int(os.environ.get("MALVA_GROUP_KMERS", 1 << 20))
+
+
 def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:
     reader = open_variant_reader(cfg.vcf_path, cfg.samples)
     out.write(cleaned_header(reader.meta_lines, cfg.verbose))
 
-    ref_bytes_cache: dict[int, bytes] = {}
     n = 0
+
+    def emit_group(group: list[tuple[list, dict]]) -> None:
+        nonlocal n
+        _set_coverages_group(index, group)
+        all_vars = [v for variants, _ in group for v in variants]
+        genotype_block(all_vars, cfg.max_coverage, cfg.haploid, cfg.error_rate)
+        for line in format_variants(all_vars, cfg.haploid, cfg.verbose):
+            out.write(line + "\n")
+        n += len(all_vars)
+
+    for group in _iter_block_groups(cfg, refs):
+        emit_group(group)
+    timer.pelapsed(f"VCF parsing and genotyping ({n} variants)")
+
+
+def _iter_block_groups(cfg: Config, refs):
+    """Yield groups [(variants, kmers), ...] of flushed call-phase blocks,
+    cut at ~GROUP_KMERS queued signature k-mers."""
+    ref_bytes_cache: dict[int, bytes] = {}
+    group: list[tuple[list, dict]] = []
+    queued = 0
     for vb, ref in _iter_blocks(cfg, refs, keep_absent=True):
         # NOTE: setdefault would re-run tobytes() (a full contig copy)
         # on every block even on cache hits — 30 MB x one block per
@@ -453,12 +521,19 @@ def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) 
         if ref_bytes is None:
             ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
         kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
-        _set_coverages(index, vb, kmers)
-        genotype_block(vb.variants, cfg.max_coverage, cfg.haploid, cfg.error_rate)
-        for line in format_variants(vb.variants, cfg.haploid, cfg.verbose):
-            out.write(line + "\n")
-        n += len(vb.variants)
-    timer.pelapsed(f"VCF parsing and genotyping ({n} variants)")
+        group.append((vb.variants, kmers))  # vb.clear() rebinds, list is ours
+        queued += sum(
+            len(sig)
+            for per_allele in kmers.values()
+            for sigs in per_allele.values()
+            for sig in sigs
+        )
+        if queued >= GROUP_KMERS:
+            yield group
+            group = []
+            queued = 0
+    if group:
+        yield group
 
 
 def _reset_counters(index: Index) -> None:
@@ -526,21 +601,17 @@ def call_batch(
     header = cleaned_header(reader.meta_lines, cfg.verbose)
     for out in outs:
         out.write(header)
-    ref_bytes_cache: dict[int, bytes] = {}
     n = 0
-    for vb, ref in _iter_blocks(cfg, refs, keep_absent=True):
-        ref_bytes = b"" if ref is None else ref_bytes_cache.get(id(ref))
-        if ref_bytes is None:
-            ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
-        kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
+    for group in _iter_block_groups(cfg, refs):
+        all_vars = [v for variants, _ in group for v in variants]
         for (bf_counts, kmap_vals), out in zip(planes, outs):
             index.bf.counts = bf_counts
             index.ref_bf.kmers = kmap_vals
-            for v in vb.variants:
+            for v in all_vars:
                 v.computed_gts = []
-            _set_coverages(index, vb, kmers)
-            genotype_block(vb.variants, cfg.max_coverage, cfg.haploid, cfg.error_rate)
-            for line in format_variants(vb.variants, cfg.haploid, cfg.verbose):
+            _set_coverages_group(index, group)
+            genotype_block(all_vars, cfg.max_coverage, cfg.haploid, cfg.error_rate)
+            for line in format_variants(all_vars, cfg.haploid, cfg.verbose):
                 out.write(line + "\n")
-        n += len(vb.variants)
+        n += len(all_vars)
     timer.pelapsed(f"VCF parsing and genotyping ({n} variants x {len(planes)} samples)")

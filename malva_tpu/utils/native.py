@@ -66,12 +66,118 @@ def load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        for name, args in [
+            ("malva_xxh3_batch", [u8p, ctypes.c_int64, ctypes.c_int64, u64p]),
+            ("malva_canonical", [u8p, ctypes.c_int64, ctypes.c_int64, u8p]),
+            ("malva_canonical_xxh3", [u8p, ctypes.c_int64, ctypes.c_int64, u64p]),
+            ("malva_pack2bit", [u8p, ctypes.c_int64, ctypes.c_int64, u64p]),
+            ("malva_truncate_nul", [u8p, ctypes.c_int64, ctypes.c_int64, u8p]),
+            ("malva_coverage", [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = args
         _LIB = lib
     except Exception as e:  # pragma: no cover - environment dependent
         print(f"[malva-tpu] native kernels unavailable ({e}); using Python path",
               file=sys.stderr)
         _LIB = None
     return _LIB
+
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+
+
+def _rows(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def xxh3_batch(a: np.ndarray) -> "np.ndarray | None":
+    """XXH3_64bits per row of (N, L) uint8; None -> caller uses numpy."""
+    lib = load()
+    if lib is None:
+        return None
+    a = _rows(a)
+    n, length = a.shape
+    out = np.empty(n, dtype=np.uint64)
+    lib.malva_xxh3_batch(a.ctypes.data_as(_U8P), n, length,
+                         out.ctypes.data_as(_U64P))
+    return out
+
+
+def canonical(a: np.ndarray) -> "np.ndarray | None":
+    lib = load()
+    if lib is None:
+        return None
+    a = _rows(a)
+    n, k = a.shape
+    out = np.empty_like(a)
+    lib.malva_canonical(a.ctypes.data_as(_U8P), n, k, out.ctypes.data_as(_U8P))
+    return out
+
+
+def canonical_xxh3(a: np.ndarray) -> "np.ndarray | None":
+    """Fused canonical + XXH3 (no canonical matrix materialized)."""
+    lib = load()
+    if lib is None:
+        return None
+    a = _rows(a)
+    n, k = a.shape
+    out = np.empty(n, dtype=np.uint64)
+    lib.malva_canonical_xxh3(a.ctypes.data_as(_U8P), n, k,
+                             out.ctypes.data_as(_U64P))
+    return out
+
+
+def pack2bit(a: np.ndarray) -> "np.ndarray | None":
+    lib = load()
+    if lib is None:
+        return None
+    a = _rows(a)
+    n, k = a.shape
+    out = np.empty((n, (k + 31) // 32), dtype=np.uint64)
+    lib.malva_pack2bit(a.ctypes.data_as(_U8P), n, k, out.ctypes.data_as(_U64P))
+    return out
+
+
+def truncate_nul(a: np.ndarray) -> "np.ndarray | None":
+    lib = load()
+    if lib is None:
+        return None
+    a = _rows(a)
+    n, k = a.shape
+    out = np.empty_like(a)
+    lib.malva_truncate_nul(a.ctypes.data_as(_U8P), n, k, out.ctypes.data_as(_U8P))
+    return out
+
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def coverage(w: np.ndarray, sig_len: np.ndarray,
+             allele_nsig: np.ndarray) -> "np.ndarray | None":
+    """Per-allele coverage scan (pipeline._set_coverages_group); None when
+    the native library is unavailable (caller runs the Python scan)."""
+    lib = load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(w, dtype=np.int64)
+    sig_len = np.ascontiguousarray(sig_len, dtype=np.int64)
+    allele_nsig = np.ascontiguousarray(allele_nsig, dtype=np.int64)
+    out = np.empty(allele_nsig.shape[0], dtype=np.int64)
+    lib.malva_coverage(
+        w.ctypes.data_as(_I64P), sig_len.ctypes.data_as(_I64P),
+        sig_len.shape[0], allele_nsig.ctypes.data_as(_I64P),
+        allele_nsig.shape[0], out.ctypes.data_as(_I64P),
+    )
+    return out
 
 
 def bf_rank(words: np.ndarray) -> "tuple[np.ndarray, int] | None":

@@ -351,3 +351,268 @@ uint64_t malva_bf_rank(const uint32_t* words, int64_t n, uint32_t* rank) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch sequence kernels: XXH3, canonicalization, 2-bit packing.
+//
+// These are the big-array host ops of the pipeline (counting flush,
+// BF/KMAP query batches — the per-k-mer work of reference main.cpp:487-500
+// done host-side).  The XXH3 implementation below is written from the
+// public XXH3 specification, mirroring malva_tpu/ops/xxh3.py (same
+// structure, same constants); it is NOT the vendored upstream xxhash.c.
+// Parity with the Python path is enforced by tests/test_xxh3.py and the
+// native-parity fuzz in tests/test_seq.py.
+// ---------------------------------------------------------------------------
+
+#include <cstring>
+
+namespace {
+
+constexpr uint64_t PRIME32_1 = 0x9E3779B1ULL;
+constexpr uint64_t PRIME32_2 = 0x85EBCA77ULL;
+constexpr uint64_t PRIME32_3 = 0xC2B2AE3DULL;
+constexpr uint64_t PRIME64_1 = 0x9E3779B185EBCA87ULL;
+constexpr uint64_t PRIME64_2 = 0xC2B2AE3D27D4EB4FULL;
+constexpr uint64_t PRIME64_3 = 0x165667B19E3779F9ULL;
+constexpr uint64_t PRIME64_4 = 0x85EBCA77C2B2AE63ULL;
+constexpr uint64_t PRIME64_5 = 0x27D4EB2F165667C5ULL;
+constexpr uint64_t PRIME_MX1 = 0x165667919E3779F9ULL;
+constexpr uint64_t PRIME_MX2 = 0x9FB21C651E98DF25ULL;
+
+// 192-byte canonical XXH3 default secret (spec constant).
+const uint8_t kSecret[192] = {
+    0xB8, 0xFE, 0x6C, 0x39, 0x23, 0xA4, 0x4B, 0xBE, 0x7C, 0x01, 0x81, 0x2C, 0xF7, 0x21, 0xAD, 0x1C,
+    0xDE, 0xD4, 0x6D, 0xE9, 0x83, 0x90, 0x97, 0xDB, 0x72, 0x40, 0xA4, 0xA4, 0xB7, 0xB3, 0x67, 0x1F,
+    0xCB, 0x79, 0xE6, 0x4E, 0xCC, 0xC0, 0xE5, 0x78, 0x82, 0x5A, 0xD0, 0x7D, 0xCC, 0xFF, 0x72, 0x21,
+    0xB8, 0x08, 0x46, 0x74, 0xF7, 0x43, 0x24, 0x8E, 0xE0, 0x35, 0x90, 0xE6, 0x81, 0x3A, 0x26, 0x4C,
+    0x3C, 0x28, 0x52, 0xBB, 0x91, 0xC3, 0x00, 0xCB, 0x88, 0xD0, 0x65, 0x8B, 0x1B, 0x53, 0x2E, 0xA3,
+    0x71, 0x64, 0x48, 0x97, 0xA2, 0x0D, 0xF9, 0x4E, 0x38, 0x19, 0xEF, 0x46, 0xA9, 0xDE, 0xAC, 0xD8,
+    0xA8, 0xFA, 0x76, 0x3F, 0xE3, 0x9C, 0x34, 0x3F, 0xF9, 0xDC, 0xBB, 0xC7, 0xC7, 0x0B, 0x4F, 0x1D,
+    0x8A, 0x51, 0xE0, 0x4B, 0xCD, 0xB4, 0x59, 0x31, 0xC8, 0x9F, 0x7E, 0xC9, 0xD9, 0x78, 0x73, 0x64,
+    0xEA, 0xC5, 0xAC, 0x83, 0x34, 0xD3, 0xEB, 0xC3, 0xC5, 0x81, 0xA0, 0xFF, 0xFA, 0x13, 0x63, 0xEB,
+    0x17, 0x0D, 0xDD, 0x51, 0xB7, 0xF0, 0xDA, 0x49, 0xD3, 0x16, 0x55, 0x26, 0x29, 0xD4, 0x68, 0x9E,
+    0x2B, 0x16, 0xBE, 0x58, 0x7D, 0x47, 0xA1, 0xFC, 0x8F, 0xF8, 0xB8, 0xD1, 0x7A, 0xD0, 0x31, 0xCE,
+    0x45, 0xCB, 0x3A, 0x8F, 0x95, 0x16, 0x04, 0x28, 0xAF, 0xD7, 0xFB, 0xCA, 0xBB, 0x4B, 0x40, 0x7E,
+};
+
+inline uint64_t rd64(const uint8_t* p) { uint64_t v; std::memcpy(&v, p, 8); return v; }
+inline uint64_t rd32(const uint8_t* p) { uint32_t v; std::memcpy(&v, p, 4); return (uint64_t)v; }
+inline uint64_t sec64(int off) { return rd64(kSecret + off); }
+inline uint64_t sec32(int off) { return rd32(kSecret + off); }
+
+inline uint64_t mul128_fold64(uint64_t a, uint64_t b) {
+  __uint128_t p = (__uint128_t)a * b;
+  return (uint64_t)p ^ (uint64_t)(p >> 64);
+}
+inline uint64_t swap64(uint64_t x) { return __builtin_bswap64(x); }
+inline uint64_t rotl64(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+
+inline uint64_t xxh64_avalanche(uint64_t h) {
+  h ^= h >> 33; h *= PRIME64_2; h ^= h >> 29; h *= PRIME64_3; h ^= h >> 32;
+  return h;
+}
+inline uint64_t xxh3_avalanche(uint64_t h) {
+  h ^= h >> 37; h *= PRIME_MX1; h ^= h >> 32;
+  return h;
+}
+inline uint64_t rrmxmx(uint64_t h, uint64_t len) {
+  h ^= rotl64(h, 49) ^ rotl64(h, 24);
+  h *= PRIME_MX2;
+  h ^= (h >> 35) + len;
+  h *= PRIME_MX2;
+  return h ^ (h >> 28);
+}
+inline uint64_t mix16(const uint8_t* in, int sec_off) {
+  return mul128_fold64(rd64(in) ^ sec64(sec_off), rd64(in + 8) ^ sec64(sec_off + 8));
+}
+
+uint64_t xxh3_one(const uint8_t* a, int64_t len) {
+  if (len == 0)
+    return xxh64_avalanche(sec64(56) ^ sec64(64));
+  if (len <= 3) {
+    uint64_t c1 = a[0], c2 = a[len >> 1], c3 = a[len - 1];
+    uint64_t combined = (c1 << 16) | (c2 << 24) | c3 | ((uint64_t)len << 8);
+    return xxh64_avalanche(combined ^ (sec32(0) ^ sec32(4)));
+  }
+  if (len <= 8) {
+    uint64_t in64 = rd32(a + len - 4) + (rd32(a) << 32);
+    return rrmxmx(in64 ^ (sec64(8) ^ sec64(16)), (uint64_t)len);
+  }
+  if (len <= 16) {
+    uint64_t lo = rd64(a) ^ (sec64(24) ^ sec64(32));
+    uint64_t hi = rd64(a + len - 8) ^ (sec64(40) ^ sec64(48));
+    return xxh3_avalanche((uint64_t)len + swap64(lo) + hi + mul128_fold64(lo, hi));
+  }
+  if (len <= 128) {
+    uint64_t acc = (uint64_t)len * PRIME64_1;
+    if (len > 96) acc += mix16(a + 48, 96) + mix16(a + len - 64, 112);
+    if (len > 64) acc += mix16(a + 32, 64) + mix16(a + len - 48, 80);
+    if (len > 32) acc += mix16(a + 16, 32) + mix16(a + len - 32, 48);
+    acc += mix16(a, 0) + mix16(a + len - 16, 16);
+    return xxh3_avalanche(acc);
+  }
+  if (len <= 240) {
+    uint64_t acc = (uint64_t)len * PRIME64_1;
+    int64_t nb = len / 16;
+    for (int i = 0; i < 8; ++i) acc += mix16(a + 16 * i, 16 * i);
+    acc = xxh3_avalanche(acc);
+    for (int64_t i = 8; i < nb; ++i) acc += mix16(a + 16 * i, 16 * (int)(i - 8) + 3);
+    acc += mix16(a + len - 16, 136 - 17);
+    return xxh3_avalanche(acc);
+  }
+  // long path: 64B stripes, 192B secret, scramble per block
+  constexpr int kStripe = 64;
+  constexpr int kSecretSize = 192;
+  constexpr int kStripesPerBlock = (kSecretSize - kStripe) / 8;  // 16
+  constexpr int kBlockLen = kStripe * kStripesPerBlock;
+  uint64_t acc[8] = {PRIME32_3, PRIME64_1, PRIME64_2, PRIME64_3,
+                     PRIME64_4, PRIME32_2, PRIME64_5, PRIME32_1};
+  auto accumulate512 = [&](const uint8_t* in, int sec_off) {
+    for (int i = 0; i < 8; ++i) {
+      uint64_t dv = rd64(in + 8 * i);
+      uint64_t dk = dv ^ sec64(sec_off + 8 * i);
+      acc[i ^ 1] += dv;
+      acc[i] += (dk & 0xFFFFFFFFULL) * (dk >> 32);
+    }
+  };
+  int64_t nb_blocks = (len - 1) / kBlockLen;
+  for (int64_t b = 0; b < nb_blocks; ++b) {
+    for (int s = 0; s < kStripesPerBlock; ++s)
+      accumulate512(a + b * kBlockLen + s * kStripe, 8 * s);
+    for (int i = 0; i < 8; ++i) {
+      uint64_t x = acc[i];
+      acc[i] = (x ^ (x >> 47) ^ sec64(kSecretSize - kStripe + 8 * i)) * PRIME32_1;
+    }
+  }
+  int64_t nb_stripes = ((len - 1) - (int64_t)kBlockLen * nb_blocks) / kStripe;
+  for (int64_t s = 0; s < nb_stripes; ++s)
+    accumulate512(a + nb_blocks * kBlockLen + s * kStripe, 8 * (int)s);
+  accumulate512(a + len - kStripe, kSecretSize - kStripe - 7);
+  uint64_t result = (uint64_t)len * PRIME64_1;
+  for (int i = 0; i < 4; ++i) {
+    int sec_off = 11 + 16 * i;
+    result += mul128_fold64(acc[2 * i] ^ sec64(sec_off), acc[2 * i + 1] ^ sec64(sec_off + 8));
+  }
+  return xxh3_avalanche(result);
+}
+
+// RCN complement table (reference bloom_filter.hpp:36-50, incl. the
+// 'g'->'G' upstream quirk; everything unmapped complements to 0).
+struct RcnTable {
+  uint8_t t[256];
+  RcnTable() {
+    std::memset(t, 0, sizeof(t));
+    t['A'] = 'T'; t['C'] = 'G'; t['G'] = 'C'; t['N'] = 'N'; t['T'] = 'A';
+    t['a'] = 'T'; t['c'] = 'G'; t['g'] = 'G'; t['n'] = 'N'; t['t'] = 'A';
+  }
+};
+const RcnTable kRcn;
+
+// canonical = fwd if fwd < revcomp(fwd) lexicographically else revcomp.
+inline void canonical_row(const uint8_t* in, int64_t k, uint8_t* out) {
+  // out := revcomp
+  for (int64_t j = 0; j < k; ++j) out[j] = kRcn.t[in[k - 1 - j]];
+  for (int64_t j = 0; j < k; ++j) {
+    if (in[j] < out[j]) { std::memcpy(out, in, k); return; }
+    if (in[j] > out[j]) return;
+  }
+  // tie: keep revcomp (== fwd bytewise)
+}
+
+}  // namespace
+
+extern "C" {
+
+// XXH3_64bits over n rows of fixed length len.
+void malva_xxh3_batch(const uint8_t* data, int64_t n, int64_t len, uint64_t* out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) out[i] = xxh3_one(data + i * len, len);
+}
+
+// Canonical form of each row (min of row and its reverse complement,
+// revcomp on ties — reference bloom_filter.hpp:58-65).
+void malva_canonical(const uint8_t* in, int64_t n, int64_t k, uint8_t* out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) canonical_row(in + i * k, k, out + i * k);
+}
+
+// Fused canonical + XXH3 (the Bloom-filter key hash,
+// bloom_filter.hpp:67-74) without materializing the canonical matrix.
+void malva_canonical_xxh3(const uint8_t* in, int64_t n, int64_t k, uint64_t* out) {
+#pragma omp parallel if (n > 4096)
+  {
+    std::vector<uint8_t> buf(k);
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      canonical_row(in + i * k, k, buf.data());
+      out[i] = xxh3_one(buf.data(), k);
+    }
+  }
+}
+
+// 2-bit pack: base j of a row -> word j/32, bits 2*(31 - j%32)..+1, with
+// non-ACGT bytes contributing code 255 exactly like the numpy path
+// (callers pre-filter with is_acgt; the wrap-around garbage must still
+// match bit-for-bit).
+void malva_pack2bit(const uint8_t* in, int64_t n, int64_t k, uint64_t* out) {
+  uint8_t code[256];
+  std::memset(code, 255, sizeof(code));
+  code['A'] = 0; code['C'] = 1; code['G'] = 2; code['T'] = 3;
+  const int64_t nwords = (k + 31) / 32;
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* row = in + i * k;
+    uint64_t* orow = out + i * nwords;
+    for (int64_t w = 0; w < nwords; ++w) {
+      uint64_t acc = 0;
+      int64_t j0 = w * 32, j1 = (w + 1) * 32 < k ? (w + 1) * 32 : k;
+      for (int64_t j = j0; j < j1; ++j)
+        acc |= (uint64_t)code[row[j]] << (2 * (31 - (j & 31)));
+      orow[w] = acc;
+    }
+  }
+}
+
+// Per-allele coverage from flat per-k-mer counts (main.cpp:151-184):
+// coverage = max over the allele's signatures of the incremental integer
+// mean of the signature's nonzero counts.  ``w`` holds every queried
+// k-mer's count in traversal order; ``sig_len`` the k-mers per signature;
+// ``allele_nsig`` the signatures per allele (same order).  Exact mirror
+// of the Python scan in malva_tpu/pipeline.py::_set_coverages_group.
+void malva_coverage(const int64_t* w, const int64_t* sig_len, int64_t n_sigs,
+                    const int64_t* allele_nsig, int64_t n_alleles,
+                    int64_t* out_cov) {
+  std::vector<int64_t> sig_off(n_sigs + 1), al_off(n_alleles + 1);
+  sig_off[0] = 0;
+  for (int64_t s = 0; s < n_sigs; ++s) sig_off[s + 1] = sig_off[s] + sig_len[s];
+  al_off[0] = 0;
+  for (int64_t a = 0; a < n_alleles; ++a)
+    al_off[a + 1] = al_off[a] + allele_nsig[a];
+#pragma omp parallel for schedule(static) if (n_alleles > 1024)
+  for (int64_t a = 0; a < n_alleles; ++a) {
+    int64_t cov = 0;
+    for (int64_t s = al_off[a]; s < al_off[a + 1]; ++s) {
+      int64_t curr = 0, n = 0;
+      for (int64_t i = sig_off[s]; i < sig_off[s + 1]; ++i) {
+        if (w[i] > 0) { curr = (curr * n + w[i]) / (n + 1); ++n; }
+      }
+      if (curr > cov) cov = curr;
+    }
+    out_cov[a] = cov;
+  }
+}
+
+// Zero every byte at/after the first NUL of each row (C-string key
+// truncation of the exact map, reference kmap.hpp:95).
+void malva_truncate_nul(const uint8_t* in, int64_t n, int64_t k, uint8_t* out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* row = in + i * k;
+    uint8_t* orow = out + i * k;
+    int64_t j = 0;
+    for (; j < k && row[j]; ++j) orow[j] = row[j];
+    for (; j < k; ++j) orow[j] = 0;
+  }
+}
+
+}  // extern "C"

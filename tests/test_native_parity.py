@@ -1,0 +1,169 @@
+"""Native batch kernels == pure-Python/NumPy paths, bit for bit.
+
+The native library is authoritative in production; the NumPy code is the
+readable spec.  Fuzz both over adversarial inputs (IUPAC bytes, NULs,
+ties, every XXH3 length class); the Python path is obtained by switching
+the module-level _LIB off for just that call.
+"""
+
+import contextlib
+
+import numpy as np
+import pytest
+
+from malva_tpu.utils import native as nat
+
+
+@contextlib.contextmanager
+def py_path():
+    """Force the pure-Python paths within the block."""
+    lib, tried = nat._LIB, nat._TRIED
+    nat._LIB, nat._TRIED = None, True
+    try:
+        yield
+    finally:
+        nat._LIB, nat._TRIED = lib, tried
+
+
+def _rand_rows(rng, n, k, alphabet):
+    return alphabet[rng.integers(0, len(alphabet), size=(n, k))]
+
+
+ALPHA_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+ALPHA_MESSY = np.frombuffer(b"ACGTNacgtnRYKM\x00\xffW", dtype=np.uint8)
+
+
+def test_native_available():
+    assert nat.load() is not None, "native kernels must build in CI"
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 32, 33, 35, 43, 64, 65, 100])
+def test_canonical_parity(k):
+    from malva_tpu.ops.seq import canonical
+
+    rng = np.random.default_rng(k)
+    rows = np.concatenate([
+        _rand_rows(rng, 200, k, ALPHA_ACGT),
+        _rand_rows(rng, 200, k, ALPHA_MESSY),
+    ])
+    # palindromes (ties: revcomp must win)
+    if k % 2 == 0:
+        half = _rand_rows(rng, 50, k // 2, ALPHA_ACGT)
+        comp = np.zeros_like(half)
+        for s, d in zip(b"ACGT", b"TGCA"):
+            comp[half == s] = d
+        rows = np.concatenate([rows, np.concatenate([half, comp[:, ::-1]], axis=1)])
+    out = nat.canonical(rows)
+    assert out is not None
+    with py_path():
+        py = canonical(rows)
+    np.testing.assert_array_equal(out, py)
+
+
+@pytest.mark.parametrize("k", [1, 35, 43, 80])
+def test_truncate_parity(k):
+    from malva_tpu.ops.seq import truncate_at_nul
+
+    rng = np.random.default_rng(k + 1)
+    rows = _rand_rows(rng, 500, k, ALPHA_MESSY)
+    out = nat.truncate_nul(rows)
+    assert out is not None
+    with py_path():
+        py = truncate_at_nul(rows)
+    np.testing.assert_array_equal(out, py)
+
+
+@pytest.mark.parametrize("k", [1, 16, 32, 33, 43, 64, 65, 96])
+def test_pack2bit_parity(k):
+    from malva_tpu.ops.seq import pack_2bit
+
+    rng = np.random.default_rng(k + 2)
+    rows = np.concatenate([
+        _rand_rows(rng, 300, k, ALPHA_ACGT),
+        _rand_rows(rng, 50, k, ALPHA_MESSY),  # code-255 wrap garbage must match
+    ])
+    out = nat.pack2bit(rows)
+    assert out is not None
+    with py_path():
+        py = pack_2bit(rows)
+    np.testing.assert_array_equal(out, py)
+
+
+@pytest.mark.parametrize(
+    "length", [0, 1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 35, 43, 64, 96, 128,
+               129, 160, 240, 241, 500, 1024, 1100]
+)
+def test_xxh3_batch_parity(length):
+    from malva_tpu.ops.xxh3 import xxh3_64
+
+    rng = np.random.default_rng(length + 3)
+    rows = rng.integers(0, 256, size=(64, length)).astype(np.uint8)
+    out = nat.xxh3_batch(rows)
+    assert out is not None
+    with py_path():
+        py = xxh3_64(rows)
+    np.testing.assert_array_equal(out, py)
+
+
+def test_canonical_xxh3_fused():
+    from malva_tpu.ops.seq import canonical
+    from malva_tpu.ops.xxh3 import xxh3_64
+
+    rng = np.random.default_rng(9)
+    for k in (35, 43, 7):
+        rows = np.concatenate([
+            _rand_rows(rng, 300, k, ALPHA_ACGT),
+            _rand_rows(rng, 100, k, ALPHA_MESSY),
+        ])
+        out = nat.canonical_xxh3(rows)
+        assert out is not None
+        with py_path():
+            py = xxh3_64(canonical(rows))
+        np.testing.assert_array_equal(out, py)
+
+
+def test_noncontiguous_inputs():
+    """Sliding-window views and column slices must be handled (the native
+    wrappers copy to contiguous)."""
+    from malva_tpu.ops.seq import canonical
+
+    rng = np.random.default_rng(11)
+    seq = ALPHA_ACGT[rng.integers(0, 4, size=500)]
+    win = np.lib.stride_tricks.sliding_window_view(seq, 43)
+    a = canonical(win)
+    b = canonical(np.ascontiguousarray(win))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_coverage_scan_parity():
+    """malva_coverage == the Python incremental-mean/max scan, fuzzed over
+    ragged signature/allele partitions including zeros and empty runs."""
+    rng = np.random.default_rng(21)
+    for trial in range(20):
+        n_alleles = int(rng.integers(1, 50))
+        allele_nsig = rng.integers(0, 6, size=n_alleles).astype(np.int64)
+        n_sigs = int(allele_nsig.sum())
+        sig_len = rng.integers(0, 9, size=n_sigs).astype(np.int64)
+        total = int(sig_len.sum())
+        w = rng.integers(0, 30, size=total).astype(np.int64)
+        w[rng.random(total) < 0.5] = 0  # plenty of skipped k-mers
+
+        out = nat.coverage(w, sig_len, allele_nsig)
+        assert out is not None
+
+        sig_off = np.concatenate([[0], np.cumsum(sig_len)])
+        s = 0
+        exp = np.zeros(n_alleles, dtype=np.int64)
+        for a in range(n_alleles):
+            best = 0
+            for _ in range(int(allele_nsig[a])):
+                curr = 0
+                n = 0
+                for x in w[sig_off[s] : sig_off[s + 1]].tolist():
+                    if x > 0:
+                        curr = (curr * n + x) // (n + 1)
+                        n += 1
+                s += 1
+                best = max(best, curr)
+            exp[a] = best
+        np.testing.assert_array_equal(out, exp)

@@ -125,12 +125,23 @@ def main():
 
     from malva_tpu.ops.pallas_kernels import make_callstep_hash_fn
     hash_fn = make_callstep_hash_fn(35, 43)
+    hash_fn_noctx = make_callstep_hash_fn(35, 43, with_ctx=False)
 
     @jax.jit
     def hash_pallas(pk):
         R = BATCH // 128
         mats = [pk[:, j].reshape(R, 128) for j in range(3)]
         outs = hash_fn(*mats)
+        acc = outs[0]
+        for o in outs[1:]:
+            acc = acc ^ o
+        return acc.reshape(-1)
+
+    @jax.jit
+    def hash_pallas_noctx(pk):
+        R = BATCH // 128
+        mats = [pk[:, j].reshape(R, 128) for j in range(3)]
+        outs = hash_fn_noctx(*mats)
         acc = outs[0]
         for o in outs[1:]:
             acc = acc ^ o
@@ -163,6 +174,7 @@ def main():
     timeit("gather_pure", gather_pure, bf_packed, idx0)
     timeit("hash_xla", hash_xla, contexts)
     timeit("hash_pallas", hash_pallas, ctx_packed)
+    timeit("hash_noctx", hash_pallas_noctx, ctx_packed)
     timeit("sort", sort_only, contexts)
     timeit("step_compact", step_c, bf_packed, state, ctx_words, kmap_keys,
            contexts, counters, state_idx=1)
