@@ -117,7 +117,6 @@ def make_sharded_call_step(mesh, k: int, ref_k: int, size_bits: int, n_shards: i
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     off = (ref_k - k) // 2
@@ -185,12 +184,12 @@ def make_sharded_call_step(mesh, k: int, ref_k: int, size_bits: int, n_shards: i
 
         return bf_counts[None], kmap_vals[None]
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P("shard"), P("shard"), P("shard"), P("shard"), P("shard"), P("shard"), P("shard")),
         out_specs=(P("shard"), P("shard")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -317,7 +316,6 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     off = (ref_k - k) // 2
@@ -493,13 +491,13 @@ def make_routed_call_step(mesh, k: int, ref_k: int, size_bits: int,
         )
         return c[None], v[None]
 
-    routed_j = jax.jit(shard_map(
+    routed_j = jax.jit(jax.shard_map(
         step, mesh=mesh, in_specs=(P("shard"),) * 7,
-        out_specs=(P("shard"), P("shard"), P("shard")), check_rep=False,
+        out_specs=(P("shard"), P("shard"), P("shard")), check_vma=False,
     ))
-    fallback_j = jax.jit(shard_map(
+    fallback_j = jax.jit(jax.shard_map(
         fb_step, mesh=mesh, in_specs=(P("shard"),) * 7,
-        out_specs=(P("shard"), P("shard")), check_rep=False,
+        out_specs=(P("shard"), P("shard")), check_vma=False,
     ))
 
     def run(bf_packed, bf_counts, ctx_words, kmap_keys, kmap_vals,
@@ -535,7 +533,6 @@ def make_sharded_ref_scan(mesh, k: int, ref_k: int, size_bits: int,
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..ops.bloom_jax import bloom_set
@@ -574,10 +571,10 @@ def make_sharded_ref_scan(mesh, k: int, ref_k: int, size_bits: int,
         mine = hit & (lcw >= 0) & (lcw < wps)
         return bloom_set(ctx_shard, lcw, cb, mask=mine)[None]
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), P("shard"), P("shard"), P("shard")),
-        out_specs=P("shard"), check_rep=False,
+        out_specs=P("shard"), check_vma=False,
     )
     return jax.jit(sharded)
 

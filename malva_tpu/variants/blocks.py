@@ -268,39 +268,6 @@ class VB:
             self._profiles_mat = np.zeros((0, 0), dtype=np.uint8)
 
     @staticmethod
-    def _unique_rows_of(sub: np.ndarray):
-        """Unique rows of a small-int matrix as Python int lists.
-
-        uint8 rows are packed 8-per-uint64 word and deduplicated with a
-        vectorized sort — no per-row Python work for the (U, L)
-        projections this code makes per combination.  Falls back to
-        np.unique when values exceed uint8 (VCFs with >255 ALTs)."""
-        if sub.shape[0] == 0:
-            return
-        if sub.dtype != np.uint8:
-            if sub.size and 0 <= int(sub.min(initial=0)) and int(sub.max(initial=0)) < 256:
-                sub = np.ascontiguousarray(sub, dtype=np.uint8)
-            else:
-                for row in np.unique(sub, axis=0):
-                    yield row.tolist()
-                return
-        u, L = sub.shape
-        w = (L + 7) // 8
-        pad = np.zeros((u, w * 8), np.uint8)
-        pad[:, :L] = sub
-        keys = pad.view(np.uint64)  # (u, w); any bijective packing works
-        if w == 1:
-            uniq = np.unique(keys[:, 0])[:, None]
-        else:
-            order = np.lexsort(tuple(keys[:, j] for j in range(w - 1, -1, -1)))
-            s = keys[order]
-            sel = np.concatenate([[True], np.any(s[1:] != s[:-1], axis=1)])
-            uniq = s[sel]
-        rows = uniq.view(np.uint8).reshape(uniq.shape[0], w * 8)[:, :L]
-        for row in rows:
-            yield row.tolist()
-
-    @staticmethod
     def _project_dedup(mat: np.ndarray, pos: dict[int, int], window: list[int],
                        haploid: bool):
         """Project a profile matrix onto the column groups of ``window``
@@ -336,33 +303,47 @@ class VB:
     ) -> set[tuple[bytes, ...]]:
         """var_block.hpp:734-786 over unique genotype profiles, with
         incremental dedup replacing the explicit 2^n haplotype table of
-        combine_haplotypes (same final set)."""
+        combine_haplotypes (same final set).
+
+        Haplotype enumeration runs entirely in allele-INDEX space (small
+        int tuples — cheap to hash, vectorizable phased split); allele
+        byte strings are rendered once per unique index combination.  The
+        final dedup stays on the byte tuples, so combinations that render
+        identically (e.g. an out-of-range GT clamped to REF) still
+        collapse exactly as the reference's string set does."""
         aacs: set[tuple[bytes, ...]] = set()
         al = self._allele
         comb_pos = [local_pos[j] for j in comb]
+        idx_set: set[tuple[int, ...]]
         if haploid:
-            for row in self._unique_rows_of(wmat[:, comb_pos]):
-                aacs.add(tuple(al(j, a) for j, a in zip(comb, row)))
+            sub = _dedup_rows_fast(np.ascontiguousarray(wmat[:, comb_pos]))
+            idx_set = set(map(tuple, sub.tolist()))
         else:
             cols = []
             for p in comb_pos:
                 cols.extend((3 * p, 3 * p + 1, 3 * p + 2))
-            for r in self._unique_rows_of(wmat[:, cols]):
-                phased = all(r[3 * i + 2] for i in range(len(comb)))
-                hap1 = [al(j, r[3 * i]) for i, j in enumerate(comb)]
-                hap2 = [al(j, r[3 * i + 1]) for i, j in enumerate(comb)]
-                if phased:
-                    aacs.add(tuple(hap1))
-                    aacs.add(tuple(hap2))
-                else:
+            sub = _dedup_rows_fast(np.ascontiguousarray(wmat[:, cols]))
+            a1m, a2m = sub[:, 0::3], sub[:, 1::3]
+            phased = (sub[:, 2::3] != 0).all(axis=1)
+            idx_set = set()
+            if phased.any():
+                haps = _dedup_rows_fast(
+                    np.ascontiguousarray(np.concatenate([a1m[phased], a2m[phased]]))
+                )
+                idx_set.update(map(tuple, haps.tolist()))
+            if not phased.all():
+                un = ~phased
+                for r1, r2 in zip(a1m[un].tolist(), a2m[un].tolist()):
                     # all 2^n selections, deduplicated level by level
-                    partial: set[tuple[bytes, ...]] = {()}
-                    for a1, a2 in zip(hap1, hap2):
-                        if a1 == a2:
-                            partial = {t + (a1,) for t in partial}
+                    partial: set[tuple[int, ...]] = {()}
+                    for x, y in zip(r1, r2):
+                        if x == y:
+                            partial = {t + (x,) for t in partial}
                         else:
-                            partial = {t + (a,) for t in partial for a in (a1, a2)}
-                    aacs |= partial
+                            partial = {t + (a,) for t in partial for a in (x, y)}
+                    idx_set |= partial
+        for t in idx_set:
+            aacs.add(tuple(al(j, a) for j, a in zip(comb, t)))
         return aacs
 
     def _native_engine(self):
