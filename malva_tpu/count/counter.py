@@ -44,6 +44,12 @@ def _sorted_counts(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Sort (N, W) uint64 rows lexicographically and run-length count."""
     if packed.shape[0] == 0:
         return packed, np.zeros(0, dtype=np.int64)
+    if packed.shape[1] <= 2:
+        from ..utils import native
+
+        out = native.sort_count(packed)
+        if out is not None:
+            return out
     order = np.lexsort(tuple(packed[:, w] for w in range(packed.shape[1] - 1, -1, -1)))
     s = packed[order]
     diff = np.any(s[1:] != s[:-1], axis=1)
@@ -60,6 +66,12 @@ def _merge_runs(
         return keys_b, cnt_b
     if keys_b.shape[0] == 0:
         return keys_a, cnt_a
+    if keys_a.shape[1] <= 2:
+        from ..utils import native
+
+        out = native.merge_runs(keys_a, cnt_a, keys_b, cnt_b)
+        if out is not None:
+            return out
     keys = np.concatenate([keys_a, keys_b])
     cnts = np.concatenate([cnt_a, cnt_b])
     order = np.lexsort(tuple(keys[:, w] for w in range(keys.shape[1] - 1, -1, -1)))
@@ -146,6 +158,14 @@ def load_kmc_dump(path: str, ref_k: int) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ks), np.concatenate(cs)
 
 
+def _native_reads_available(ref_k: int) -> bool:
+    """The fused native window->packed-canonical kernel covers ref_k<=64
+    (keys of at most two u64 words)."""
+    from ..utils import native
+
+    return ref_k <= 64 and native.load() is not None
+
+
 def count_reads_kmers(
     reads_path: str,
     ref_k: int,
@@ -174,10 +194,11 @@ def count_reads_kmers(
     """
     acc_keys = np.zeros((0, (ref_k + 31) // 32), dtype=np.uint64)
     acc_cnts = np.zeros(0, dtype=np.int64)
-    pending: list[np.ndarray] = []
+    pending: list = []
     pending_n = 0
     total_windows = 0
     start_batch = 0
+    native_reads = not use_device and _native_reads_available(ref_k)
 
     device_steps: dict[int, object] = {}
     _SEP = np.full(1, 0xFF, dtype=np.uint8)  # read separator: invalidates
@@ -208,8 +229,20 @@ def count_reads_kmers(
             print("[malva-tpu/count] checkpoint mismatch, ignoring", file=log)
 
     def flush():
-        nonlocal acc_keys, acc_cnts, pending, pending_n
+        nonlocal acc_keys, acc_cnts, pending, pending_n, total_windows
         if not pending:
+            return
+        if native_reads:
+            from ..utils import native
+
+            # fused native path: raw read bytes -> packed canonical keys
+            # (no (windows, k) byte matrix ever materializes)
+            packed = native.read_kmers(pending, ref_k)
+            pending = []
+            pending_n = 0
+            total_windows += packed.shape[0]
+            keys, cnts = _sorted_counts(packed)
+            acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
             return
         block = np.concatenate(pending, axis=0)
         pending = []
@@ -253,6 +286,10 @@ def count_reads_kmers(
                     pending.append(a)
                     pending.append(_SEP)
                     pending_n += a.shape[0]
+            elif native_reads:
+                if len(seq) >= ref_k:
+                    pending.append(seq)
+                    pending_n += len(seq) - ref_k + 1  # upper bound
             else:
                 w = _windows_of_read(seq, ref_k)
                 if w.shape[0]:

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..io.fasta import iter_read_batches
 from ..ops.seq import upper
-from .counter import _windows_of_read, _sorted_counts
+from .counter import _native_reads_available, _windows_of_read, _sorted_counts
 from .device_count import device_seq_sorted_counts
 
 # multiplicative spill-bucket hash over the packed words (canonical
@@ -194,12 +194,24 @@ def count_reads_kmers_spill(
             device_steps[size] = make_seq_sort_count_step(ref_k, size)
         return size, device_steps[size]
 
-    pending: list[np.ndarray] = []
+    pending: list = []
     pending_n = 0
+    native_reads = not use_device and _native_reads_available(ref_k)
 
     def flush():
         nonlocal pending, pending_n, total_windows
         if not pending:
+            return
+        if native_reads:
+            from ..utils import native
+
+            packed = native.read_kmers(pending, ref_k)
+            pending = []
+            pending_n = 0
+            keys, cnts = _sorted_counts(packed)
+            if keys.shape[0]:
+                total_windows += int(cnts.sum())
+                store.add_segment(keys, cnts)
             return
         block = np.concatenate(pending, axis=0)
         pending = []
@@ -231,6 +243,10 @@ def count_reads_kmers_spill(
                     pending.append(a)
                     pending.append(_SEP)
                     pending_n += a.shape[0]
+            elif native_reads:
+                if len(seq) >= ref_k:
+                    pending.append(seq)
+                    pending_n += len(seq) - ref_k + 1  # upper bound
             else:
                 w = _windows_of_read(seq, ref_k)
                 if w.shape[0]:

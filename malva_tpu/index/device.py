@@ -443,17 +443,29 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
         word = row[:, 0]
         bbu = bb.astype(jnp.uint32)
         is_set = ((word >> bbu) & jnp.uint32(1)).astype(bool)
-        rank = row[:, 1] & jnp.uint32(RANK_MASK) if minifilter else row[:, 1]
-        below = word & ((jnp.uint32(1) << bbu) - jnp.uint32(1))
-        cnt_idx = rank + jax.lax.population_count(below)
 
-        if minifilter:
+        def row_fields(row_m, chh_m, bb_m):
+            """(is_set, cnt_idx, kmap_cand) from gathered bf rows — used
+            full-batch by the full path, tail-sized by the compact path."""
+            w = row_m[:, 0]
+            bbu_m = bb_m.astype(jnp.uint32)
+            set_m = ((w >> bbu_m) & jnp.uint32(1)).astype(bool)
+            rank = row_m[:, 1] & jnp.uint32(RANK_MASK) if minifilter else row_m[:, 1]
+            below = w & ((jnp.uint32(1) << bbu_m) - jnp.uint32(1))
+            cnt = rank + jax.lax.population_count(below)
+            if minifilter and n_buckets > 1:
+                mf = row_m[:, 1] >> jnp.uint32(RANK_BITS)
+                mf_slot = (chh_m >> jnp.uint32(28)) & jnp.uint32(3)
+                cand = ((mf >> mf_slot) & jnp.uint32(1)).astype(bool)
+            else:
+                cand = jnp.ones(row_m.shape[0], bool)
+            return set_m, cnt, cand
+
+        if minifilter and n_buckets > 1:
             mf = row[:, 1] >> jnp.uint32(RANK_BITS)
             mf_slot = (chh >> jnp.uint32(28)) & jnp.uint32(3)
             kmap_cand = ((mf >> mf_slot) & jnp.uint32(1)).astype(bool)
         else:
-            kmap_cand = jnp.ones(batch, bool)
-        if n_buckets <= 1:
             kmap_cand = jnp.ones(batch, bool)
         interesting = is_set | kmap_cand
         n_int = jnp.sum(interesting.astype(jnp.int32))
@@ -469,24 +481,18 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
                 key = ((~interesting).astype(jnp.uint32) << 31) | lane
                 sel = (lax.sort(key)[:c] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
-                flags = (
-                    is_set.astype(jnp.uint32)
-                    | (kmap_cand.astype(jnp.uint32) << 1)
-                )
-                # narrow payload: center hash/packed form and buckets are
-                # recomputed from the ctx words on the tail lanes (free VPU)
-                payload = jnp.stack(
-                    [cnt_idx, counters_u, flags]
-                    + [ctx_packed[:, j] for j in range(wc)],
-                    axis=1,
-                )
-                p = jnp.take(payload, sel, axis=0)      # (c, 3 + wc) u32
-                p_cnt, p_counter, p_flags = p[:, 0], p[:, 1], p[:, 2]
-                p_set = (p_flags & jnp.uint32(1)).astype(bool)
-                p_cand = ((p_flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
-                p_ctx = p[:, 3 : 3 + wc]
+                # no payload matrix: the tail re-gathers its c rows from
+                # the SOURCE arrays (ctx words, counters, bf rows) and
+                # recomputes everything else — the full-batch part of the
+                # step stays gather + flags + sort key only
+                p_ctx = jnp.take(ctx_packed, sel, axis=0)       # (c, wc)
+                p_counter = jnp.take(counters_u, sel, axis=0)
 
                 p_chh, p_chl, p_packed = center_hash_rows(p_ctx)
+                p_ch = jnp.stack([p_chh, p_chl], axis=1)
+                p_bw, p_bb = xxh3_mod_size(p_ch, size_bits)
+                p_row = jnp.take(bf_packed, p_bw, axis=0)       # (c, 2)
+                p_set, p_cnt, p_cand = row_fields(p_row, p_chh, p_bb)
                 p_bucket, p_bucket2 = bucket_pair_jax(p_chh, p_chl, n_buckets)
 
                 # deferred context-filter test: hash only the tail lanes
@@ -509,6 +515,7 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
             return compact_path
 
         def full_path(state):
+            _, cnt_idx, _ = row_fields(row, chh, bb)
             cw, cb = ctx_hash_rows(ctx_packed)
             wv = jnp.take(ctx_words, cw, axis=0)
             ctx_known = ((wv >> cb.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)

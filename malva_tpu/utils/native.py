@@ -79,10 +79,26 @@ def load() -> "ctypes.CDLL | None":
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64),
             ]),
+            ("malva_count_windows", [
+                u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ]),
+            ("malva_read_kmers", [
+                u8p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, u64p,
+            ]),
         ]:
             fn = getattr(lib, name)
             fn.restype = None
             fn.argtypes = args
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.malva_sort_count.restype = ctypes.c_int64
+        lib.malva_sort_count.argtypes = [u64p, ctypes.c_int64, i64p]
+        lib.malva_merge_runs.restype = ctypes.c_int64
+        lib.malva_merge_runs.argtypes = [
+            u64p, i64p, ctypes.c_int64, u64p, i64p, ctypes.c_int64, u64p, i64p,
+        ]
         _LIB = lib
     except Exception as e:  # pragma: no cover - environment dependent
         print(f"[malva-tpu] native kernels unavailable ({e}); using Python path",
@@ -159,6 +175,78 @@ def truncate_nul(a: np.ndarray) -> "np.ndarray | None":
 
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def read_kmers(seqs: "list[bytes]", k: int) -> "np.ndarray | None":
+    """Packed canonical k-mers ((N, ceil(k/32)) u64, pack_2bit layout) of
+    every pure-ACGT k-window of the given reads, in read order; None when
+    the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(seqs)
+    data = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(s) for s in seqs), np.int64, n), out=offs[1:])
+    counts = np.empty(n, dtype=np.int64)
+    lib.malva_count_windows(data.ctypes.data_as(_U8P),
+                            offs.ctypes.data_as(_I64P), n, k,
+                            counts.ctypes.data_as(_I64P))
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    out = np.empty((int(out_offs[-1]), (k + 31) // 32), dtype=np.uint64)
+    lib.malva_read_kmers(data.ctypes.data_as(_U8P),
+                         offs.ctypes.data_as(_I64P),
+                         out_offs.ctypes.data_as(_I64P), n, k,
+                         out.ctypes.data_as(_U64P))
+    return out
+
+
+def sort_count(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Lexicographic row sort + run-length count of (N, W<=2) u64 rows
+    (parallel); returns (unique_keys, counts) or None.  The input array is
+    never modified (a working copy is sorted in place)."""
+    lib = load()
+    if lib is None or keys.shape[1] > 2:
+        return None
+    n, W = keys.shape
+    if W == 1:
+        k2 = np.zeros((n, 2), dtype=np.uint64)
+        k2[:, 0] = keys[:, 0]
+    else:
+        k2 = np.array(keys, dtype=np.uint64)  # always a fresh copy
+    cnts = np.empty(max(n, 1), dtype=np.int64)
+    u = lib.malva_sort_count(k2.ctypes.data_as(_U64P), n,
+                             cnts.ctypes.data_as(_I64P))
+    return np.ascontiguousarray(k2[:u, :W]), cnts[:u].copy()
+
+
+def merge_runs(keys_a, cnt_a, keys_b, cnt_b) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Linear merge of two sorted distinct (key, count) runs, summing
+    counts; None when unavailable or rows wider than 2 words."""
+    lib = load()
+    if lib is None or keys_a.shape[1] > 2:
+        return None
+    na, W = keys_a.shape
+    nb = keys_b.shape[0]
+    if W == 1:
+        ka = np.zeros((na, 2), dtype=np.uint64)
+        ka[:, 0] = keys_a[:, 0]
+        kb = np.zeros((nb, 2), dtype=np.uint64)
+        kb[:, 0] = keys_b[:, 0]
+    else:
+        ka = np.ascontiguousarray(keys_a, dtype=np.uint64)
+        kb = np.ascontiguousarray(keys_b, dtype=np.uint64)
+    ca = np.ascontiguousarray(cnt_a, dtype=np.int64)
+    cb = np.ascontiguousarray(cnt_b, dtype=np.int64)
+    ko = np.empty((na + nb, 2), dtype=np.uint64)
+    co = np.empty(na + nb, dtype=np.int64)
+    m = lib.malva_merge_runs(
+        ka.ctypes.data_as(_U64P), ca.ctypes.data_as(_I64P), na,
+        kb.ctypes.data_as(_U64P), cb.ctypes.data_as(_I64P), nb,
+        ko.ctypes.data_as(_U64P), co.ctypes.data_as(_I64P),
+    )
+    return np.ascontiguousarray(ko[:m, :W]), co[:m]
 
 
 def coverage(w: np.ndarray, sig_len: np.ndarray,

@@ -9,9 +9,14 @@
 //
 // Build: make -C native   (produces libmalva_host.so)
 
+#include <algorithm>
 #include <cstddef>
 #include <cstdint>
+#include <cstring>
 #include <vector>
+#if defined(_OPENMP)
+#include <parallel/algorithm>
+#endif
 
 using std::size_t;
 
@@ -613,6 +618,170 @@ void malva_truncate_nul(const uint8_t* in, int64_t n, int64_t k, uint8_t* out) {
     for (; j < k && row[j]; ++j) orow[j] = row[j];
     for (; j < k; ++j) orow[j] = 0;
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host k-mer counting kernels (count/counter.py hot path).
+//
+// The KMC-replacement counter extracts every pure-ACGT k-window of each
+// read, canonicalizes, 2-bit packs (32 bases per u64, big-endian within
+// the word — the layout of ops/seq.py::pack_2bit), sorts and run-length
+// counts.  The NumPy path materializes a (windows, k) byte matrix (a 25x
+// blow-up of the read bytes) before packing; these kernels roll the
+// packed forward/revcomp forms across each read instead, so the only
+// traffic is read bytes in, (N, W) u64 keys out.  Bit-exact with the
+// NumPy path by the parity tests.
+
+namespace {
+
+inline void roll_setup(int64_t k, int64_t& W, int64_t& top_word,
+                       int64_t& top_shift, uint64_t& last_mask) {
+  W = (k + 31) / 32;
+  // base k-1 lives in word (k-1)/32 at bit offset 2*(31 - (k-1)%32)
+  top_word = (k - 1) / 32;
+  top_shift = 2 * (31 - ((k - 1) & 31));
+  // bits at/above base k-1's offset in the last word are valid
+  last_mask = ~((top_shift == 0) ? 0ULL : ((1ULL << top_shift) - 1ULL));
+}
+
+// counts[r] = number of pure-ACGT k-windows of read r
+void count_windows_one(const uint8_t* s, int64_t len, int64_t k,
+                       const uint8_t* code, int64_t& out) {
+  out = 0;
+  if (len < k) return;
+  int64_t bad = 0;  // invalid bases in current window
+  for (int64_t i = 0; i < len; ++i) {
+    if (code[s[i]] == 255) bad = k;  // poisons the next k windows
+    else if (bad > 0) --bad;
+    if (i >= k - 1 && bad == 0) ++out;
+  }
+}
+
+// emit packed canonical keys for one read at out (row-major (n, W))
+void read_kmers_one(const uint8_t* s, int64_t len, int64_t k,
+                    const uint8_t* code, uint64_t* out) {
+  if (len < k) return;
+  int64_t W, top_word, top_shift;
+  uint64_t last_mask;
+  roll_setup(k, W, top_word, top_shift, last_mask);
+  std::vector<uint64_t> fwd(W, 0), rc(W, 0);
+  int64_t bad = 0;
+  for (int64_t i = 0; i < len; ++i) {
+    uint8_t c = code[s[i]];
+    uint64_t cf, cr;
+    if (c == 255) { bad = k; cf = 0; cr = 3; }
+    else { if (bad > 0) --bad; cf = c; cr = 3 - (uint64_t)c; }
+    // fwd: shift left 2 (drop oldest at top of word 0), append at base k-1
+    for (int64_t w = 0; w < W - 1; ++w)
+      fwd[w] = (fwd[w] << 2) | (fwd[w + 1] >> 62);
+    fwd[W - 1] <<= 2;
+    fwd[top_word] |= cf << top_shift;
+    // rc: shift right 2 (drop base k-1), insert complement at base 0
+    for (int64_t w = W - 1; w > 0; --w)
+      rc[w] = (rc[w] >> 2) | (rc[w - 1] << 62);
+    rc[0] >>= 2;
+    rc[0] |= cr << 62;
+    rc[W - 1] &= last_mask;
+    if (i >= k - 1 && bad == 0) {
+      // canonical = lexicographic min; ties keep rc (identical bits)
+      bool take_fwd = false;
+      for (int64_t w = 0; w < W; ++w) {
+        if (fwd[w] < rc[w]) { take_fwd = true; break; }
+        if (fwd[w] > rc[w]) break;
+      }
+      const uint64_t* src = take_fwd ? fwd.data() : rc.data();
+      for (int64_t w = 0; w < W; ++w) out[w] = src[w];
+      out += W;
+    }
+  }
+}
+
+struct CodeTab {
+  uint8_t t[256];
+  CodeTab() {
+    std::memset(t, 255, sizeof(t));
+    t['A'] = t['a'] = 0; t['C'] = t['c'] = 1;
+    t['G'] = t['g'] = 2; t['T'] = t['t'] = 3;
+  }
+};
+const CodeTab kCode;
+
+struct K2 { uint64_t hi, lo; };
+inline bool k2_less(const K2& a, const K2& b) {
+  return a.hi != b.hi ? a.hi < b.hi : a.lo < b.lo;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-read pure-ACGT window counts (parallel over reads).
+void malva_count_windows(const uint8_t* bytes, const int64_t* offs,
+                         int64_t n_reads, int64_t k, int64_t* counts) {
+#pragma omp parallel for schedule(dynamic, 64) if (n_reads > 256)
+  for (int64_t r = 0; r < n_reads; ++r)
+    count_windows_one(bytes + offs[r], offs[r + 1] - offs[r], k, kCode.t,
+                      counts[r]);
+}
+
+// Packed canonical k-mers of every pure-ACGT window, read-order.
+// out_offs[r] = row index where read r's keys start (from the counts
+// above); out is ((total, W)) u64.
+void malva_read_kmers(const uint8_t* bytes, const int64_t* offs,
+                      const int64_t* out_offs, int64_t n_reads, int64_t k,
+                      uint64_t* out) {
+  const int64_t W = (k + 31) / 32;
+#pragma omp parallel for schedule(dynamic, 64) if (n_reads > 256)
+  for (int64_t r = 0; r < n_reads; ++r)
+    read_kmers_one(bytes + offs[r], offs[r + 1] - offs[r], k, kCode.t,
+                   out + out_offs[r] * W);
+}
+
+// Sort (n, W<=2) u64 rows lexicographically and run-length count:
+// unique rows are compacted to the FRONT of keys, counts written per
+// unique row; returns the number of unique rows.  (W==1 rows are
+// widened by the caller with a zero low word.)
+int64_t malva_sort_count(uint64_t* keys, int64_t n, int64_t* cnts) {
+  if (n == 0) return 0;
+  K2* a = reinterpret_cast<K2*>(keys);
+#if defined(_OPENMP)
+  __gnu_parallel::sort(a, a + n, k2_less);
+#else
+  std::sort(a, a + n, k2_less);
+#endif
+  int64_t u = 0;
+  cnts[0] = 1;
+  for (int64_t i = 1; i < n; ++i) {
+    if (a[i].hi == a[u].hi && a[i].lo == a[u].lo) {
+      ++cnts[u];
+    } else {
+      ++u;
+      a[u] = a[i];
+      cnts[u] = 1;
+    }
+  }
+  return u + 1;
+}
+
+// Linear merge of two sorted distinct (key, count) runs, summing counts.
+// Returns the merged length (<= na + nb).
+int64_t malva_merge_runs(const uint64_t* ka, const int64_t* ca, int64_t na,
+                         const uint64_t* kb, const int64_t* cb, int64_t nb,
+                         uint64_t* ko, int64_t* co) {
+  const K2* a = reinterpret_cast<const K2*>(ka);
+  const K2* b = reinterpret_cast<const K2*>(kb);
+  K2* o = reinterpret_cast<K2*>(ko);
+  int64_t i = 0, j = 0, m = 0;
+  while (i < na && j < nb) {
+    if (k2_less(a[i], b[j])) { o[m] = a[i]; co[m++] = ca[i++]; }
+    else if (k2_less(b[j], a[i])) { o[m] = b[j]; co[m++] = cb[j++]; }
+    else { o[m] = a[i]; co[m++] = ca[i++] + cb[j++]; }
+  }
+  while (i < na) { o[m] = a[i]; co[m++] = ca[i++]; }
+  while (j < nb) { o[m] = b[j]; co[m++] = cb[j++]; }
+  return m;
 }
 
 }  // extern "C"

@@ -35,7 +35,7 @@ def _oracle(reads, k, ci=2, cs=255):
 def test_counter_matches_oracle(tmp_path):
     rng = np.random.default_rng(7)
     reads = []
-    base = bytes(rng.choice(list(b"ACGT"), size=200))
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200).tobytes()
     for i in range(50):
         start = rng.integers(0, 150)
         read = bytearray(base[start : start + 60])
@@ -79,44 +79,40 @@ def test_counter_checkpoint_resume(tmp_path):
     fq = tmp_path / "reads.fa"
     with open(fq, "wb") as f:
         for i in range(40):
-            seq = bytes(rng.choice(list(b"ACGT"), size=400))
+            seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400).tobytes()
             f.write(b">r%d\n%s\n" % (i, seq))
 
     clean_k, clean_c = count_reads_kmers(str(fq), 11, ci=1)
+    assert clean_c.sum() > 0
 
     ckpt = str(tmp_path / "count.ckpt.npz")
     # force many small batches + frequent checkpoints, interrupt midway
+    # (at the batch iterator — backend-agnostic, native path included)
     import malva_tpu.count.counter as counter_mod
 
     orig = counter_mod.iter_read_batches
 
-    def tiny_batches(path, batch_bases=1 << 26):
-        for b in orig(path, batch_bases=512):
+    class Boom(Exception):
+        pass
+
+    def tiny_batches(path, batch_bases=1 << 26, explode_at=None):
+        for i, b in enumerate(orig(path, batch_bases=512)):
+            if explode_at is not None and i == explode_at:
+                raise Boom()
             yield b
 
-    counter_mod.iter_read_batches = tiny_batches
     try:
-        class Boom(Exception):
-            pass
-
-        orig_flush_windows = counter_mod._windows_of_read
-
-        def exploding(seq, k, _st={"i": 0}):
-            _st["i"] += 1
-            if _st["i"] == 25:
-                raise Boom()
-            return orig_flush_windows(seq, k)
-
-        counter_mod._windows_of_read = exploding
+        counter_mod.iter_read_batches = (
+            lambda path, batch_bases=1 << 26: tiny_batches(path, explode_at=12)
+        )
         try:
             count_reads_kmers(str(fq), 11, ci=1, checkpoint=ckpt, checkpoint_every_batches=2)
             assert False, "expected interruption"
         except Boom:
             pass
-        finally:
-            counter_mod._windows_of_read = orig_flush_windows
         import os
         assert os.path.exists(ckpt)
+        counter_mod.iter_read_batches = tiny_batches
         res_k, res_c = count_reads_kmers(str(fq), 11, ci=1, checkpoint=ckpt, checkpoint_every_batches=2)
         assert not os.path.exists(ckpt)
     finally:
@@ -128,7 +124,7 @@ def test_counter_checkpoint_resume(tmp_path):
 
 def test_device_counter_matches_host(tmp_path):
     rng = np.random.default_rng(21)
-    base = bytes(rng.choice(list(b"ACGT"), size=800))
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=800).tobytes()
     fq = tmp_path / "r.fa"
     with open(fq, "wb") as f:
         for i in range(60):

@@ -167,3 +167,62 @@ def test_coverage_scan_parity():
                 best = max(best, curr)
             exp[a] = best
         np.testing.assert_array_equal(out, exp)
+
+
+def _np_sorted_counts(packed):
+    order = np.lexsort(tuple(packed[:, w] for w in range(packed.shape[1] - 1, -1, -1)))
+    s = packed[order]
+    diff = np.any(s[1:] != s[:-1], axis=1)
+    starts = np.concatenate([[0], np.nonzero(diff)[0] + 1])
+    ends = np.concatenate([starts[1:], [s.shape[0]]])
+    return s[starts], (ends - starts).astype(np.int64)
+
+
+@pytest.mark.parametrize("k", [5, 31, 32, 33, 43, 63, 64])
+def test_read_kmers_parity(k):
+    """Native rolling window->packed-canonical == the NumPy spec path
+    (windows -> canonical -> pack_2bit), over messy reads: lowercase,
+    IUPAC/N poison bases, reads shorter than k."""
+    from malva_tpu.count.counter import _windows_of_read
+    from malva_tpu.ops.seq import canonical, pack_2bit
+
+    rng = np.random.default_rng(k)
+    reads = []
+    for i in range(40):
+        L = int(rng.integers(0, 4 * k))
+        r = ALPHA_ACGT[rng.integers(0, 4, size=L)].copy()
+        # sprinkle junk + lowercase
+        junk = rng.random(L) < 0.05
+        r[junk] = ord("N")
+        low = rng.random(L) < 0.3
+        r[low] |= 0x20
+        reads.append(r.tobytes())
+    out = nat.read_kmers(reads, k)
+    assert out is not None
+    with py_path():
+        wins = [w for r in reads for w in [_windows_of_read(r, k)] if w.shape[0]]
+        if wins:
+            exp = pack_2bit(canonical(np.concatenate(wins)))
+        else:
+            exp = np.zeros((0, (k + 31) // 32), np.uint64)
+    np.testing.assert_array_equal(out, exp)
+
+
+@pytest.mark.parametrize("W", [1, 2])
+def test_sort_count_merge_parity(W):
+    rng = np.random.default_rng(W)
+    n = 5000
+    # few distinct values so runs are long
+    keys = rng.integers(0, 50, size=(n, W)).astype(np.uint64)
+    got_k, got_c = nat.sort_count(keys)
+    exp_k, exp_c = _np_sorted_counts(keys)
+    np.testing.assert_array_equal(got_k, exp_k)
+    np.testing.assert_array_equal(got_c, exp_c)
+
+    keys2 = rng.integers(20, 80, size=(n, W)).astype(np.uint64)
+    k2, c2 = nat.sort_count(keys2)
+    mk, mc = nat.merge_runs(got_k, got_c, k2, c2)
+    ek, ec = _np_sorted_counts(np.concatenate([np.repeat(got_k, got_c, axis=0),
+                                               np.repeat(k2, c2, axis=0)]))
+    np.testing.assert_array_equal(mk, ek)
+    np.testing.assert_array_equal(mc, ec)

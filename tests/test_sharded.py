@@ -99,7 +99,7 @@ def test_count_distributed_single_host_matches_plain(tmp_path):
     from malva_tpu.utils.config import Config
 
     rng = np.random.default_rng(12)
-    base = bytes(rng.choice(list(b"ACGT"), size=500))
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=500).tobytes()
     fq = tmp_path / "r.fa"
     with open(fq, "wb") as f:
         for i in range(30):

@@ -225,6 +225,27 @@ def main():
     rt = (time.perf_counter() - t0) / 5
     print(f"[abl] roundtrip {rt*1e3:.1f} ms", file=sys.stderr)
 
+    if not ONLY or "prod" in ONLY:
+        from malva_tpu.index.device import make_call_step_packed
+
+        step = make_call_step_packed(K, REF_K, size_bits, table.n_buckets, BATCH)
+        state = jnp.zeros(n_counts + kv_len, dtype=jnp.uint32)
+
+        def itp(i, state):
+            return step(bf_packed, state, ctx_words, kmap_keys,
+                        make_contexts(i), counters)
+
+        state = itp(0, state)
+        state = itp(1, state)
+        sync(state)
+        t0 = time.perf_counter()
+        for i in range(2, 2 + ITERS):
+            state = itp(i, state)
+        sync(state)
+        dt = (time.perf_counter() - t0 - rt) / ITERS
+        print(f"[abl] {'prod':11s} {dt*1e3:8.2f} ms/2M  ({BATCH/dt/1e6:7.1f} M/s)",
+              file=sys.stderr)
+
     variants = [
         ("full", frozenset()),
         ("-sort", frozenset({"sort"})),
