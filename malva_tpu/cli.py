@@ -43,6 +43,9 @@ def _parser(prog: str) -> argparse.ArgumentParser:
         sp.add_argument("--spill-dir", default="",
                         help="bounded-memory counting: spill distinct k-mers "
                              "to this directory (kmc -m4 parity; resumable)")
+        sp.add_argument("--backend", default="auto",
+                        choices=("auto", "host", "device"),
+                        help="where the hot loops run (auto routes by size)")
         sp.add_argument("--malvax", action="store_true",
                         help="read/write the reference .malvax.zst index format")
         sp.add_argument("--profile-dir", default=None,
@@ -74,6 +77,7 @@ def _config(args: argparse.Namespace) -> Config:
         from_kmc_dump=args.from_kmc_dump,
         from_kmc_db=args.from_kmc_db,
         spill_dir=args.spill_dir,
+        backend=args.backend,
         uniform=args.uniform,
         verbose=args.verbose,
         haploid=args.haploid,

@@ -46,7 +46,10 @@ class BF:
         idx = self._indices(kmers)
         word = (idx >> np.uint64(5)).astype(np.int64)
         mask = (np.uint32(1) << (idx & np.uint64(31)).astype(np.uint32)).astype(np.uint32)
-        np.bitwise_or.at(self.words, word, mask)
+        from ..utils import native
+
+        if not native.scatter_or_u32(self.words, word, mask):
+            np.bitwise_or.at(self.words, word, mask)
 
     def test_keys(self, kmers: np.ndarray) -> np.ndarray:
         if len(kmers) == 0:
@@ -93,7 +96,11 @@ class BF:
         if not self.mode or len(kmers) == 0:
             return
         is_set, cnt_idx = self._count_indices(kmers)
-        np.add.at(self.counts, cnt_idx[is_set], counters.astype(np.uint32)[is_set])
+        from ..utils import native
+
+        idx, vals = cnt_idx[is_set], counters.astype(np.uint32)[is_set]
+        if not native.scatter_add_u32(self.counts, idx, vals):
+            np.add.at(self.counts, idx, vals)
 
     def get_counts(self, kmers: np.ndarray) -> np.ndarray:
         """uint16 counter per k-mer, 0 where bit unset or write mode."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.seq import canonical, truncate_at_nul
+from ..ops.seq import canonical, is_acgt, pack_2bit, truncate_at_nul
 
 
 def _keys(kmers: np.ndarray) -> list[bytes]:
@@ -24,14 +24,68 @@ def _keys(kmers: np.ndarray) -> list[bytes]:
 class KMAP:
     def __init__(self):
         self.kmers: dict[bytes, int] = {}
+        self._fast: dict[int, tuple] = {}  # probe width -> (sorted void keys)
+
+    def _fast_index(self, k: int):
+        """Sorted packed view of the pure-ACGT length-k keys, for a
+        vectorized membership test: a pure canonical probe of length k can
+        only ever equal one of these (NUL-truncated or IUPAC keys differ
+        in at least one byte).  Comparison order is the void view's
+        memcmp — internally consistent, which is all searchsorted needs."""
+        fi = self._fast.get(k)
+        if fi is None:
+            keys = [kb for kb in self.kmers if len(kb) == k]
+            if keys:
+                arr = np.frombuffer(b"".join(keys), np.uint8).reshape(-1, k)
+                ok = is_acgt(arr)
+                arr = arr[ok]
+            if keys and arr.shape[0]:
+                packed = np.ascontiguousarray(pack_2bit(arr))
+                voids = packed.view(f"V{packed.shape[1] * 8}").ravel()
+                voids = np.sort(voids)
+            else:
+                voids = np.zeros(0, dtype="V8")
+            fi = self._fast[k] = voids
+        return fi
+
+    def _match_mask(self, kmers: np.ndarray, ck: np.ndarray) -> "np.ndarray | None":
+        """Boolean mask of probes that CAN be map members (pure-ACGT probes
+        filtered by the packed membership test; non-pure probes pass
+        through as True and take the per-row path)."""
+        n, k = kmers.shape
+        if n < 1024:  # not worth the packing below this
+            return None
+        voids = self._fast_index(k)
+        pure = is_acgt(ck)
+        maybe = np.ones(n, dtype=bool)
+        if pure.any():
+            packed = np.ascontiguousarray(pack_2bit(ck[pure]))
+            pv = packed.view(f"V{packed.shape[1] * 8}").ravel()
+            if voids.shape[0]:
+                pos = np.searchsorted(voids, pv)
+                pos_c = np.minimum(pos, voids.shape[0] - 1)
+                found = (pos < voids.shape[0]) & (voids[pos_c] == pv)
+            else:
+                found = np.zeros(pv.shape[0], dtype=bool)
+            maybe[pure] = found
+        return maybe
 
     def add_keys(self, kmers: np.ndarray) -> None:
+        self._fast.clear()
         for key in _keys(kmers):
             self.kmers[key] = 0
 
     def increment_keys(self, kmers: np.ndarray, counters: np.ndarray) -> None:
         d = self.kmers
-        for key, c in zip(_keys(kmers), counters.tolist()):
+        ck = truncate_at_nul(canonical(kmers))
+        maybe = self._match_mask(kmers, ck)
+        if maybe is not None:
+            if not maybe.any():
+                return
+            ck = ck[maybe]
+            counters = np.asarray(counters)[maybe]
+        for row, c in zip(ck, counters.tolist()):
+            key = row.tobytes().rstrip(b"\x00")
             v = d.get(key)
             if v is not None:
                 d[key] = (v + int(c)) & 0xFFFFFFFF
@@ -39,7 +93,11 @@ class KMAP:
     def get_counts(self, kmers: np.ndarray) -> np.ndarray:
         d = self.kmers
         out = np.zeros(len(kmers), dtype=np.int64)
-        for i, key in enumerate(_keys(kmers)):
+        ck = truncate_at_nul(canonical(kmers))
+        maybe = self._match_mask(kmers, ck)
+        rows = np.nonzero(maybe)[0] if maybe is not None else range(len(kmers))
+        for i in rows:
+            key = ck[i].tobytes().rstrip(b"\x00")
             v = d.get(key)
             if v is not None:
                 # stored as uint32, read back as signed int (kmap.hpp:119-121)

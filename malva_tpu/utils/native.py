@@ -92,7 +92,12 @@ def load() -> "ctypes.CDLL | None":
             fn = getattr(lib, name)
             fn.restype = None
             fn.argtypes = args
+        u32p = ctypes.POINTER(ctypes.c_uint32)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        for name in ("malva_scatter_add_u32", "malva_scatter_or_u32"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [u32p, i64p, u32p, ctypes.c_int64]
         lib.malva_sort_count.restype = ctypes.c_int64
         lib.malva_sort_count.argtypes = [u64p, ctypes.c_int64, i64p]
         lib.malva_merge_runs.restype = ctypes.c_int64
@@ -247,6 +252,36 @@ def merge_runs(keys_a, cnt_a, keys_b, cnt_b) -> "tuple[np.ndarray, np.ndarray] |
         ko.ctypes.data_as(_U64P), co.ctypes.data_as(_I64P),
     )
     return np.ascontiguousarray(ko[:m, :W]), co[:m]
+
+
+_U32P = ctypes.POINTER(ctypes.c_uint32)
+
+
+def scatter_add_u32(buf: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> bool:
+    """buf[idx] += vals with repeats (np.add.at semantics, ~20x faster).
+    Returns False when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    lib.malva_scatter_add_u32(buf.ctypes.data_as(_U32P),
+                              idx.ctypes.data_as(_I64P),
+                              vals.ctypes.data_as(_U32P), idx.shape[0])
+    return True
+
+
+def scatter_or_u32(buf: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> bool:
+    """buf[idx] |= vals with repeats (np.bitwise_or.at semantics)."""
+    lib = load()
+    if lib is None:
+        return False
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    lib.malva_scatter_or_u32(buf.ctypes.data_as(_U32P),
+                             idx.ctypes.data_as(_I64P),
+                             vals.ctypes.data_as(_U32P), idx.shape[0])
+    return True
 
 
 def coverage(w: np.ndarray, sig_len: np.ndarray,

@@ -785,3 +785,21 @@ int64_t malva_merge_runs(const uint64_t* ka, const int64_t* ca, int64_t na,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scatter primitives (numpy's unbuffered ufunc.at is ~10 M el/s; these
+// run at memory speed — serial on purpose: updates may collide).
+
+extern "C" {
+
+void malva_scatter_add_u32(uint32_t* buf, const int64_t* idx,
+                           const uint32_t* vals, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) buf[idx[i]] += vals[i];
+}
+
+void malva_scatter_or_u32(uint32_t* buf, const int64_t* idx,
+                          const uint32_t* vals, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) buf[idx[i]] |= vals[i];
+}
+
+}  // extern "C"

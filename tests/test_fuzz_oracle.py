@@ -54,10 +54,11 @@ def run_oracle(oracle_bin, fa, vcf, reads, haploid, tmp, samples=None):
     return out
 
 
-def run_pipeline(fa, vcf, reads, haploid, samples="-"):
+def run_pipeline(fa, vcf, reads, haploid, samples="-", **cfg_extra):
     cfg = Config(
         fasta_path=fa, vcf_path=vcf, sample_path=reads,
         bf_size=Config.bf_gb_to_bits(1), haploid=haploid, samples=samples,
+        **cfg_extra,
     )
     index = build_index(cfg)
     buf = io.StringIO()
@@ -157,4 +158,19 @@ def test_fuzz_bcf_input_matches_oracle(oracle_bin, tmp_path, seed, haploid):
     bcf = f"{d}/vars.bcf"
     write_bcf(bcf, r.meta_lines, r.sample_names, list(r), freq_key="AF")
     got = run_pipeline(fa, bcf, reads, haploid)
+    assert got == want
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("which", ["device", "spill"])
+def test_fuzz_backends_match_oracle(oracle_bin, tmp_path, which):
+    """The forced-device call path and the bounded-memory spill counter
+    must be byte-identical to the oracle too (the other cases exercise
+    the auto/host route)."""
+    d = str(tmp_path)
+    fa, vcf, reads = gen_case(d, 17, haploid=False)
+    want = run_oracle(oracle_bin, fa, vcf, reads, False, d)
+    extra = (dict(backend="device") if which == "device"
+             else dict(spill_dir=f"{d}/spill"))
+    got = run_pipeline(fa, vcf, reads, False, **extra)
     assert got == want
