@@ -107,21 +107,29 @@ class SpillStore:
             (np.load(pk, mmap_mode="r"), np.load(pc, mmap_mode="r"), np.load(po))
             for pk, pc, po in (self._seg_paths(i) for i in range(self.n_seg))
         ]
+        from .counter import _merge_runs
+
         for b in range(self.n_buckets):
             parts_k = [k[o[b]:o[b + 1]] for k, c, o in segs if o[b] < o[b + 1]]
             parts_c = [c[o[b]:o[b + 1]] for k, c, o in segs if o[b] < o[b + 1]]
             if not parts_k:
                 continue
-            keys = np.concatenate(parts_k)
-            cnts = np.concatenate(parts_c).astype(np.int64)
-            order = np.lexsort(tuple(keys[:, w] for w in range(keys.shape[1] - 1, -1, -1)))
-            keys = keys[order]
-            cnts = cnts[order]
-            diff = np.any(keys[1:] != keys[:-1], axis=1)
-            starts = np.concatenate([[0], np.nonzero(diff)[0] + 1])
-            summed = np.add.reduceat(cnts, starts)
+            # each slice is a sorted distinct run (chunks were sorted and
+            # the bucket partition is stable) -> tree-fold of linear
+            # merges instead of a full re-sort of the concatenation
+            runs = [(np.asarray(k), np.asarray(c).astype(np.int64))
+                    for k, c in zip(parts_k, parts_c)]
+            while len(runs) > 1:
+                nxt = []
+                for i in range(0, len(runs) - 1, 2):
+                    nxt.append(_merge_runs(runs[i][0], runs[i][1],
+                                           runs[i + 1][0], runs[i + 1][1]))
+                if len(runs) & 1:
+                    nxt.append(runs[-1])
+                runs = nxt
+            keys, summed = runs[0]
             keep = summed >= ci
-            yield keys[starts][keep], np.minimum(summed[keep], cs).astype(np.uint32)
+            yield keys[keep], np.minimum(summed[keep], cs).astype(np.uint32)
 
     def cleanup(self) -> None:
         self.drop_segments_from(0)
