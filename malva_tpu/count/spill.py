@@ -100,18 +100,54 @@ class SpillStore:
             i += 1
         self.n_seg = n
 
+    @staticmethod
+    def _open_npy(path: str):
+        """(file handle, data byte offset, dtype, shape) of an .npy —
+        bucket slices are then read with explicit seeks: unlike mmap, the
+        pages never accumulate in THIS process's RSS (a WGS merge walks
+        tens of GB of segments; with mmap that all counts against us)."""
+        f = open(path, "rb")
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        assert not fortran
+        return f, f.tell(), dtype, shape
+
     def iter_merged(self, ci: int, cs: int):
         """Yield (keys_u64, counts_u32) per spill bucket, ci/cs applied.
         Peak RAM = the largest bucket's records, not the total."""
-        segs = [
-            (np.load(pk, mmap_mode="r"), np.load(pc, mmap_mode="r"), np.load(po))
-            for pk, pc, po in (self._seg_paths(i) for i in range(self.n_seg))
-        ]
+        segs = []
+        for i in range(self.n_seg):
+            pk, pc, po = self._seg_paths(i)
+            fk, ok_, dk, sk = self._open_npy(pk)
+            fc, oc, dc, _ = self._open_npy(pc)
+            segs.append((fk, ok_, dk, sk[1] if len(sk) > 1 else 1,
+                         fc, oc, dc, np.load(po)))
         from .counter import _merge_runs
 
+        def read_rows(f, base, dtype, w, lo, hi, flat=False):
+            f.seek(base + lo * dtype.itemsize * w)
+            raw = f.read((hi - lo) * dtype.itemsize * w)
+            a = np.frombuffer(raw, dtype=dtype)
+            return a if flat else a.reshape(-1, w)
+
+        try:
+            yield from self._iter_merged_buckets(segs, read_rows, _merge_runs,
+                                                 ci, cs)
+        finally:
+            for fk, _, _, _, fc, _, _, _ in segs:
+                fk.close()
+                fc.close()
+
+    def _iter_merged_buckets(self, segs, read_rows, _merge_runs, ci, cs):
         for b in range(self.n_buckets):
-            parts_k = [k[o[b]:o[b + 1]] for k, c, o in segs if o[b] < o[b + 1]]
-            parts_c = [c[o[b]:o[b + 1]] for k, c, o in segs if o[b] < o[b + 1]]
+            parts_k = []
+            parts_c = []
+            for fk, bk, dk, w, fc, bc, dc, o in segs:
+                if o[b] < o[b + 1]:
+                    parts_k.append(read_rows(fk, bk, dk, w, o[b], o[b + 1]))
+                    parts_c.append(
+                        read_rows(fc, bc, dc, 1, o[b], o[b + 1], flat=True)
+                    )
             if not parts_k:
                 continue
             # each slice is a sorted distinct run (chunks were sorted and

@@ -142,3 +142,44 @@ def test_bucket_table_two_choice_at_scale():
     # from_packed builds the identical layout
     t2 = BucketTable.from_packed(packed, h, 35)
     np.testing.assert_array_equal(t2.bucket_keys, table.bucket_keys)
+
+
+def test_kmap_fast_membership_path():
+    """The vectorized membership pre-filter (engaged only at >=1024-probe
+    batches) must agree exactly with the per-row dict walk — including
+    revcomp probes of stored keys, truncated (NUL) keys, IUPAC probes,
+    and increments seen through get_counts."""
+    from malva_tpu.index.kmap import KMAP
+    from malva_tpu.ops.seq import revcomp
+
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = 21
+    stored = alpha[rng.integers(0, 4, size=(500, k))]
+    messy = stored.copy()
+    messy[:50, 3] = ord("N")  # some keys canonicalize with IUPAC/NULs
+
+    km = KMAP()
+    km.add_keys(messy)
+
+    probes = np.concatenate([
+        alpha[rng.integers(0, 4, size=(1500, k))],  # mostly misses
+        messy[:300],                                # direct hits
+        revcomp(messy[300:400]),                    # revcomp hits
+    ])
+    cnt = rng.integers(1, 9, size=probes.shape[0]).astype(np.uint32)
+
+    km2 = KMAP()
+    km2.add_keys(messy)
+    # reference: per-row path (mask disabled via tiny batches)
+    for i in range(probes.shape[0]):
+        km2.increment_keys(probes[i : i + 1], cnt[i : i + 1])
+
+    km.increment_keys(probes, cnt)
+    assert km.kmers == km2.kmers
+
+    got = km.get_counts(probes)
+    exp = np.concatenate(
+        [km2.get_counts(probes[j : j + 1]) for j in range(probes.shape[0])]
+    )
+    np.testing.assert_array_equal(got, exp)
