@@ -53,13 +53,27 @@ def main() -> int:
     pos = pos[ok][: args.variants]
     S = args.samples
     vcf = os.path.join(args.outdir, "synth.vcf")
-    with open(vcf, "w") as f:
-        f.write("##fileformat=VCFv4.2\n")
-        f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">\n')
-        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
-        f.write("##contig=<ID=syn20>\n")
-        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-                + "\t".join(f"S{i}" for i in range(S)) + "\n")
+
+    def gt_block(n_alt: int) -> bytes:
+        """One record's sample columns ("\ta|b" x S + "\n"), vectorized —
+        a 2,504-sample cohort VCF is unwritable with per-sample f-strings."""
+        a = rng.integers(0, n_alt + 1, size=(S, 2)).astype(np.uint8) + ord("0")
+        sep = np.where(rng.random(S) < 0.5, ord("|"), ord("/")).astype(np.uint8)
+        blk = np.empty((S, 4), dtype=np.uint8)
+        blk[:, 0] = ord("\t")
+        blk[:, 1] = a[:, 0]
+        blk[:, 2] = sep
+        blk[:, 3] = a[:, 1]
+        out = blk.reshape(-1).tobytes() + b"\n"
+        return out
+
+    with open(vcf, "wb", buffering=1 << 24) as f:
+        f.write(b"##fileformat=VCFv4.2\n")
+        f.write(b'##INFO=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">\n')
+        f.write(b'##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write(b"##contig=<ID=syn20>\n")
+        f.write(("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(f"S{i}" for i in range(S)) + "\n").encode())
         bases = "ACGT"
         for vi, p in enumerate(pos.tolist()):
             ref_b = chr(genome[p - 1])  # POS is 1-based
@@ -85,15 +99,10 @@ def main() -> int:
                     alt = ref_b
                 n_alt = 1
             afs = np.round(rng.random(n_alt) * 0.5 + 0.001, 4)
-            gts = []
-            for _ in range(S):
-                a1 = int(rng.integers(0, n_alt + 1))
-                a2 = int(rng.integers(0, n_alt + 1))
-                sep = "|" if rng.random() < 0.5 else "/"
-                gts.append(f"{a1}{sep}{a2}")
             f.write(
-                f"syn20\t{p}\tv{vi}\t{ref}\t{alt}\t.\tPASS\t"
-                f"AF={','.join(str(a) for a in afs)}\tGT\t" + "\t".join(gts) + "\n"
+                (f"syn20\t{p}\tv{vi}\t{ref}\t{alt}\t.\tPASS\t"
+                 f"AF={','.join(str(a) for a in afs)}\tGT").encode()
+                + gt_block(n_alt)
             )
     print(f"wrote {vcf} ({len(pos)} records x {S} samples)", file=sys.stderr)
 
