@@ -108,7 +108,9 @@ class SpillStore:
         tens of GB of segments; with mmap that all counts against us)."""
         f = open(path, "rb")
         version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        reader = (np.lib.format.read_array_header_1_0 if version == (1, 0)
+                  else np.lib.format.read_array_header_2_0)
+        shape, fortran, dtype = reader(f)
         assert not fortran
         return f, f.tell(), dtype, shape
 

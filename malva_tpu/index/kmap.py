@@ -23,15 +23,33 @@ def _keys(kmers: np.ndarray) -> list[bytes]:
 
 class KMAP:
     def __init__(self):
-        self.kmers: dict[bytes, int] = {}
-        self._fast: dict[int, tuple] = {}  # probe width -> (sorted void keys)
+        self._kmers: dict[bytes, int] = {}
+        self._fast: dict[int, np.ndarray] = {}  # probe width -> sorted void keys
+
+    @property
+    def kmers(self) -> dict:
+        return self._kmers
+
+    @kmers.setter
+    def kmers(self, d: dict) -> None:
+        # callers swap whole dicts in (batch planes, index load); the
+        # membership cache is keyed on the KEY SET and must not survive
+        self._kmers = d
+        self._fast.clear()
 
     def _fast_index(self, k: int):
         """Sorted packed view of the pure-ACGT length-k keys, for a
         vectorized membership test: a pure canonical probe of length k can
         only ever equal one of these (NUL-truncated or IUPAC keys differ
         in at least one byte).  Comparison order is the void view's
-        memcmp — internally consistent, which is all searchsorted needs."""
+        memcmp — internally consistent, which is all searchsorted needs.
+
+        Guarded by the key COUNT: direct insertions into the dict (e.g.
+        index load loops) bypass the kmers setter, and a stale cache
+        would silently drop counts — a len change always invalidates."""
+        if self._fast.get("_n") != len(self._kmers):
+            self._fast.clear()
+            self._fast["_n"] = len(self._kmers)
         fi = self._fast.get(k)
         if fi is None:
             keys = [kb for kb in self.kmers if len(kb) == k]

@@ -287,16 +287,11 @@ def apply_sample_counts(
     index.bf.increment_keys(centers[sel], counts[sel])
 
 
-def _set_coverages_group(index: Index, group: list[tuple[list, dict]]) -> None:
-    """main.cpp:151-184 batched across many variant blocks: per-allele
-    coverage = max over signatures of the incremental integer mean of the
-    nonzero k-mer counts.  ``group`` is [(variants, kmers_dict), ...].
-
-    One flattening pass assigns every k-mer occurrence a slot and records
-    signature/allele boundaries as run lengths; queries are issued as one
-    batch per (is_ref, length) over the UNIQUE k-mers of that batch, and
-    the sequential mean/max scan runs in the native kernel
-    (malva_coverage) — no per-k-mer Python dict in the hot pass."""
+def _flatten_group(group: list[tuple[list, dict]]):
+    """Plane-independent half of :func:`_set_coverages_group`: one pass
+    assigns every k-mer occurrence a slot and records signature/allele
+    boundaries as run lengths.  Returns (by_q, sig_lens, allele_nsig,
+    targets) — reusable across sample planes in batch mode."""
     # (is_ref, length) -> (uniq kmer -> uniq idx, slot ids, uniq idx per slot)
     by_q: dict[tuple[bool, int], tuple[dict, list[int], list[int]]] = {}
     sig_lens: list[int] = []
@@ -326,7 +321,13 @@ def _set_coverages_group(index: Index, group: list[tuple[list, dict]]) -> None:
                     sig_lens.append(nk)
                 allele_nsig.append(len(signatures))
                 targets.append((variants, v_idx, allele_idx))
+    return by_q, slot, sig_lens, allele_nsig, targets
 
+
+def _set_coverages_flat(index: Index, flat) -> None:
+    """Per-plane half of :func:`_set_coverages_group`: issue the batched
+    queries against THIS index's counters and run the mean/max scan."""
+    by_q, slot, sig_lens, allele_nsig, targets = flat
     w_flat = np.zeros(slot, dtype=np.int64)
     for (is_ref, length), (uniq, slots_l, uidx_l) in by_q.items():
         arr = np.frombuffer(b"".join(uniq), dtype=np.uint8).reshape(-1, length)
@@ -363,6 +364,19 @@ def _set_coverages_group(index: Index, group: list[tuple[list, dict]]) -> None:
     for (variants, v_idx, allele_idx), c in zip(targets, cov.tolist()):
         if allele_idx >= 0:
             variants[v_idx].set_coverage(allele_idx, c)
+
+
+def _set_coverages_group(index: Index, group: list[tuple[list, dict]]) -> None:
+    """main.cpp:151-184 batched across many variant blocks: per-allele
+    coverage = max over signatures of the incremental integer mean of the
+    nonzero k-mer counts.  ``group`` is [(variants, kmers_dict), ...].
+
+    One flattening pass assigns every k-mer occurrence a slot and records
+    signature/allele boundaries as run lengths; queries are issued as one
+    batch per (is_ref, length) over the UNIQUE k-mers of that batch, and
+    the sequential mean/max scan runs in the native kernel
+    (malva_coverage) — no per-k-mer Python dict in the hot pass."""
+    _set_coverages_flat(index, _flatten_group(group))
 
 
 def _set_coverages(index: Index, vb: VB, kmers: dict) -> None:
@@ -604,12 +618,13 @@ def call_batch(
     n = 0
     for group in _iter_block_groups(cfg, refs):
         all_vars = [v for variants, _ in group for v in variants]
+        flat = _flatten_group(group)  # plane-independent: flatten ONCE
         for (bf_counts, kmap_vals), out in zip(planes, outs):
             index.bf.counts = bf_counts
             index.ref_bf.kmers = kmap_vals
             for v in all_vars:
                 v.computed_gts = []
-            _set_coverages_group(index, group)
+            _set_coverages_flat(index, flat)
             genotype_block(all_vars, cfg.max_coverage, cfg.haploid, cfg.error_rate)
             for line in format_variants(all_vars, cfg.haploid, cfg.verbose):
                 out.write(line + "\n")

@@ -223,7 +223,8 @@ def sort_count(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray] | None":
     cnts = np.empty(max(n, 1), dtype=np.int64)
     u = lib.malva_sort_count(k2.ctypes.data_as(_U64P), n,
                              cnts.ctypes.data_as(_I64P))
-    return np.ascontiguousarray(k2[:u, :W]), cnts[:u].copy()
+    # .copy(): returning views would pin the full n-row buffers
+    return k2[:u, :W].copy(), cnts[:u].copy()
 
 
 def merge_runs(keys_a, cnt_a, keys_b, cnt_b) -> "tuple[np.ndarray, np.ndarray] | None":
@@ -251,7 +252,8 @@ def merge_runs(keys_a, cnt_a, keys_b, cnt_b) -> "tuple[np.ndarray, np.ndarray] |
         kb.ctypes.data_as(_U64P), cb.ctypes.data_as(_I64P), nb,
         ko.ctypes.data_as(_U64P), co.ctypes.data_as(_I64P),
     )
-    return np.ascontiguousarray(ko[:m, :W]), co[:m]
+    # .copy(): returning views would pin the full (na+nb)-row buffers
+    return ko[:m, :W].copy(), co[:m].copy()
 
 
 _U32P = ctypes.POINTER(ctypes.c_uint32)
