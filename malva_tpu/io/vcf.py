@@ -51,6 +51,18 @@ def _open_text(path: str):
     return open(path, "rt")
 
 
+def _open_binary(path: str):
+    """Binary line stream (gz-transparent): the body reader keeps the
+    sample region (columns 10+, ~10 KB/record on a 2,504-sample cohort)
+    as bytes — no decode+re-encode round trip per record."""
+    f = open(path, "rb", buffering=1 << 22)
+    if f.read(2) == b"\x1f\x8b":
+        f.seek(0)
+        return gzip.open(f, "rb")
+    f.seek(0)
+    return f
+
+
 # Cache of GT-string -> (encoded alleles tuple) since cohort VCFs repeat a
 # small alphabet of GT strings millions of times.
 _GT_CACHE: dict[str, tuple[int, ...]] = {}
@@ -95,14 +107,25 @@ class VcfRecord:
     filt: str
     info: str
     fmt: Optional[str]
-    samples_raw: str          # unsplit tail of the line (columns 10+)
+    samples_raw: "str | bytes"  # unsplit tail of the line (columns 10+)
     n_samples: int
     _fields: Optional[list[str]] = None
+
+    def _samples_bytes(self) -> bytes:
+        s = self.samples_raw
+        return s if isinstance(s, bytes) else s.encode("ascii", "replace")
 
     @property
     def sample_fields(self) -> list[str]:
         if self._fields is None:
-            self._fields = self.samples_raw.split("\t") if self.samples_raw else []
+            s = self.samples_raw
+            if isinstance(s, bytes):
+                self._fields = (
+                    [f.decode("ascii", "replace") for f in s.split(b"\t")]
+                    if s else []
+                )
+            else:
+                self._fields = s.split("\t") if s else []
         return self._fields
 
     def info_floats(self, key: str) -> Optional[list[np.float32]]:
@@ -149,7 +172,7 @@ class VcfRecord:
 
         n = self.n_samples
         if gt_at == 0 and n:
-            arr = np.frombuffer(self.samples_raw.encode("ascii", "replace"), dtype=np.uint8)
+            arr = np.frombuffer(self._samples_bytes(), dtype=np.uint8)
             L = arr.size
             if L == 4 * n - 1 and n and (arr[3::4] == 9).all():
                 d1 = arr[0::4]
@@ -178,7 +201,7 @@ class VcfRecord:
             # sibling fields, multi-digit alleles, mixed ploidy)
             from ..utils.native import parse_gt
 
-            got = parse_gt(self.samples_raw.encode("ascii", "replace"), n, gt_at)
+            got = parse_gt(self._samples_bytes(), n, gt_at)
             if got is not None:
                 enc, ploidy = got
                 sel = selected.np if isinstance(selected, _SelList) else np.asarray(selected)
@@ -223,11 +246,11 @@ class VcfRecord:
 class VcfReader:
     def __init__(self, path: str, samples: str = "-"):
         self.path = path
-        self._fh = _open_text(path)
+        self._fh = _open_binary(path)
         self.meta_lines: list[str] = []
         self.sample_names: list[str] = []
-        for line in self._fh:
-            line = line.rstrip("\n")
+        for bline in self._fh:
+            line = bline.rstrip(b"\n").decode("utf-8", "replace")
             if line.startswith("##"):
                 self.meta_lines.append(line)
             elif line.startswith("#CHROM"):
@@ -251,23 +274,25 @@ class VcfReader:
         self.selected = _SelList(self.selected)
 
     def __iter__(self) -> Iterator[VcfRecord]:
+        n = len(self.sample_names)
         for line in self._fh:
-            line = line.rstrip("\n")
+            line = line.rstrip(b"\n")
             if not line:
                 continue
-            cols = line.split("\t", 9)
+            cols = line.split(b"\t", 9)
+            head = [c.decode("utf-8", "replace") for c in cols[:9]]
             yield VcfRecord(
-                chrom=cols[0],
-                pos0=int(cols[1]) - 1,
-                idx=cols[2],
-                ref=cols[3],
-                alts_raw=cols[4].split(",") if cols[4] != "." else [],
-                qual_raw=cols[5],
-                filt=cols[6],
-                info=cols[7] if len(cols) > 7 else ".",
-                fmt=cols[8] if len(cols) > 8 else None,
-                samples_raw=cols[9] if len(cols) > 9 else "",
-                n_samples=len(self.sample_names),
+                chrom=head[0],
+                pos0=int(head[1]) - 1,
+                idx=head[2],
+                ref=head[3],
+                alts_raw=head[4].split(",") if head[4] != "." else [],
+                qual_raw=head[5],
+                filt=head[6],
+                info=head[7] if len(head) > 7 else ".",
+                fmt=head[8] if len(head) > 8 else None,
+                samples_raw=cols[9] if len(cols) > 9 else b"",
+                n_samples=n,
             )
         self._fh.close()
 

@@ -263,7 +263,10 @@ class VB:
                     mat[:, 3 * p] = v.gt_a1
                     mat[:, 3 * p + 1] = v.gt_a2
                     mat[:, 3 * p + 2] = v.phase
-            self._profiles_mat = _dedup_rows(mat)
+            # _dedup_rows_fast dispatches: vectorized sort-dedup for rows
+            # <= 256 B, the linear bytes-hash loop for the huge-block wide
+            # rows where a many-key lexsort loses
+            self._profiles_mat = _dedup_rows_fast(mat)
         else:
             self._profiles_mat = np.zeros((0, 0), dtype=np.uint8)
 
