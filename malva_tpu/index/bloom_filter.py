@@ -27,8 +27,32 @@ class BF:
         nwords = (self.size + 31) // 32
         self.words = np.zeros(nwords, dtype=np.uint32)
         self.mode = False  # False = write, True = read (counters active)
-        self.rank: np.ndarray | None = None  # (nwords,) uint64 exclusive cumsum
+        self._rank: np.ndarray | None = None  # (nwords,) u32 exclusive cumsum
         self.counts: np.ndarray | None = None  # (popcount,) uint32
+
+    @property
+    def rank(self) -> "np.ndarray | None":
+        """Per-word exclusive popcount cumsum — built LAZILY on first use:
+        the context filter is only ever bit-probed, and a 1 GiB rank
+        array costs ~13 s of first-touch page faults on this VM class."""
+        if self._rank is None and self.mode:
+            from ..utils.native import bf_rank
+
+            out = bf_rank(self.words)
+            if out is not None:
+                self._rank = out[0]
+            else:
+                pc = np.bitwise_count(self.words).astype(np.uint32)
+                cs = np.cumsum(pc, dtype=np.uint32)
+                r = np.empty_like(cs)
+                r[0] = 0
+                r[1:] = cs[:-1]
+                self._rank = r
+        return self._rank
+
+    @rank.setter
+    def rank(self, v) -> None:
+        self._rank = v
 
     # -- hashing -----------------------------------------------------------
     def _indices(self, kmers: np.ndarray) -> np.ndarray:
@@ -62,23 +86,21 @@ class BF:
     # -- read mode ---------------------------------------------------------
     def switch_mode(self) -> None:
         self.mode = True
-        from ..utils.native import bf_rank
+        from ..utils.native import popcount_sum
 
-        out = bf_rank(self.words)
-        if out is not None:
-            rank, total = out  # single-pass native popcount scan
-        else:
-            pc = np.bitwise_count(self.words).astype(np.uint32)
-            total = int(pc.sum(dtype=np.uint64))
-            # uint32 cumsum: numpy's uint64 cumsum is ~20x slower (pairwise
-            # path); totals are guarded to fit uint32 below.
-            cs = np.cumsum(pc, dtype=np.uint32)
-            rank = np.empty_like(cs)
-            rank[0] = 0
-            rank[1:] = cs[:-1]
+        total = popcount_sum(self.words)
+        if total is None:
+            # chunked: a whole-array bitwise_count temp would itself pay
+            # the first-touch fault tax this path exists to avoid
+            total = 0
+            for lo in range(0, self.words.shape[0], 1 << 24):
+                total += int(
+                    np.bitwise_count(self.words[lo : lo + (1 << 24)])
+                    .sum(dtype=np.uint64)
+                )
         if total >= 1 << 32:
             raise OverflowError("Bloom filter popcount exceeds uint32 rank range")
-        self.rank = rank
+        self._rank = None  # built lazily on first counter access
         self.counts = np.zeros(total, dtype=np.uint32)
 
     def _count_indices(self, kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -53,6 +53,10 @@ def load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.malva_popcount_sum.restype = ctypes.c_uint64
+        lib.malva_popcount_sum.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ]
         lib.malva_parse_gt.restype = ctypes.c_int64
         lib.malva_parse_gt.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -303,6 +307,17 @@ def coverage(w: np.ndarray, sig_len: np.ndarray,
         allele_nsig.shape[0], out.ctypes.data_as(_I64P),
     )
     return out
+
+
+def popcount_sum(words: np.ndarray) -> "int | None":
+    """Total set bits of a uint32 word array (read-only — no rank array);
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    return int(lib.malva_popcount_sum(words.ctypes.data_as(u32p), words.shape[0]))
 
 
 def bf_rank(words: np.ndarray) -> "tuple[np.ndarray, int] | None":

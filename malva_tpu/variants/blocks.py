@@ -88,11 +88,12 @@ def _dedup_rows(mat: np.ndarray) -> np.ndarray:
 
 def _dedup_rows_fast(mat: np.ndarray) -> np.ndarray:
     """Unique rows of a uint8 matrix, fully vectorized: rows pack 8 bytes
-    per uint64 word and deduplicate by sort.  For wide rows (> 256 bytes,
-    where a many-key lexsort loses to linear hashing) and non-uint8 input
-    this falls back to :func:`_dedup_rows`."""
+    per uint64 word and deduplicate by sort.  The many-key lexsort loses
+    to the linear bytes-hash loop once rows are wide AND the matrix is
+    big (measured crossover ~32 B/row at ~30k cohort rows), so that
+    regime — and non-uint8 input — falls back to :func:`_dedup_rows`."""
     u, L = mat.shape
-    if u <= 1 or mat.dtype != np.uint8 or L > 256:
+    if u <= 1 or mat.dtype != np.uint8 or (L > 32 and u > 4096):
         return _dedup_rows(mat)
     w = (L + 7) // 8
     pad = np.zeros((u, w * 8), np.uint8)

@@ -346,13 +346,42 @@ int64_t malva_genotype_block(const int64_t* cov, const float* freqs,
 // genotyper does at switch_mode/load (reference bloom_filter.hpp:93-98);
 // one memory-bandwidth-bound pass here replaces numpy's bitwise_count +
 // cumsum double pass.  Returns the total popcount.
-uint64_t malva_bf_rank(const uint32_t* words, int64_t n, uint32_t* rank) {
+// Read-only popcount total (no rank array): the context filter only
+// needs its set-bit count, and on this class of VM first-touch write
+// faults cost ~40us/page — a 1 GiB rank array is ~13 s of faults.
+uint64_t malva_popcount_sum(const uint32_t* words, int64_t n) {
   uint64_t acc = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    rank[i] = (uint32_t)acc;
-    acc += (uint64_t)__builtin_popcount(words[i]);
-  }
+#pragma omp parallel for schedule(static) reduction(+ : acc) if (n > (1 << 20))
+  for (int64_t i = 0; i < n; ++i) acc += (uint64_t)__builtin_popcount(words[i]);
   return acc;
+}
+
+// Exclusive popcount scan.  Two passes so the rank writes (and their
+// first-touch page faults) run in parallel: per-block partial sums,
+// serial block scan, parallel fill.
+uint64_t malva_bf_rank(const uint32_t* words, int64_t n, uint32_t* rank) {
+  const int64_t BLK = 1 << 18;
+  const int64_t nb = (n + BLK - 1) / BLK;
+  std::vector<uint64_t> bsum(nb + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    uint64_t s = 0;
+    const int64_t hi = std::min(n, (b + 1) * BLK);
+    for (int64_t i = b * BLK; i < hi; ++i)
+      s += (uint64_t)__builtin_popcount(words[i]);
+    bsum[b + 1] = s;
+  }
+  for (int64_t b = 0; b < nb; ++b) bsum[b + 1] += bsum[b];
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    uint64_t acc = bsum[b];
+    const int64_t hi = std::min(n, (b + 1) * BLK);
+    for (int64_t i = b * BLK; i < hi; ++i) {
+      rank[i] = (uint32_t)acc;
+      acc += (uint64_t)__builtin_popcount(words[i]);
+    }
+  }
+  return bsum[nb];
 }
 
 }  // extern "C"
