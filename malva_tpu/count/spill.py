@@ -100,74 +100,94 @@ class SpillStore:
             i += 1
         self.n_seg = n
 
-    @staticmethod
-    def _open_npy(path: str):
-        """(file handle, data byte offset, dtype, shape) of an .npy —
-        bucket slices are then read with explicit seeks: unlike mmap, the
-        pages never accumulate in THIS process's RSS (a WGS merge walks
-        tens of GB of segments; with mmap that all counts against us)."""
-        f = open(path, "rb")
-        version = np.lib.format.read_magic(f)
-        reader = (np.lib.format.read_array_header_1_0 if version == (1, 0)
-                  else np.lib.format.read_array_header_2_0)
-        shape, fortran, dtype = reader(f)
-        assert not fortran
-        return f, f.tell(), dtype, shape
+    # Records held in RAM at once during the merge (per bucket-GROUP, see
+    # iter_merged).  16B/record u64-pair keys + 4B counts -> ~320 MB.
+    MERGE_GROUP_RECORDS = 1 << 24
 
     def iter_merged(self, ci: int, cs: int):
         """Yield (keys_u64, counts_u32) per spill bucket, ci/cs applied.
-        Peak RAM = the largest bucket's records, not the total."""
-        segs = []
-        for i in range(self.n_seg):
-            pk, pc, po = self._seg_paths(i)
-            fk, ok_, dk, sk = self._open_npy(pk)
-            fc, oc, dc, _ = self._open_npy(pc)
-            segs.append((fk, ok_, dk, sk[1] if len(sk) > 1 else 1,
-                         fc, oc, dc, np.load(po)))
+
+        File handles are NOT held open across the merge: a real-WGS run
+        makes thousands of segments (3-Gbase demo: ~210; a 30x human
+        genome: >6,000) and 2 handles each would blow the default 1024-FD
+        ulimit.  Instead, consecutive buckets are batched into GROUPS
+        bounded by MERGE_GROUP_RECORDS, and per group each segment is
+        opened once, its group byte-range read sequentially, and closed —
+        peak FDs O(1), peak RAM O(group), and the reads are larger and
+        sequential (friendlier than per-bucket seeks)."""
         from .counter import _merge_runs
 
-        def read_rows(f, base, dtype, w, lo, hi, flat=False):
-            f.seek(base + lo * dtype.itemsize * w)
-            raw = f.read((hi - lo) * dtype.itemsize * w)
+        # offsets first (n_seg x (n_buckets+1) int64 — tiny), handles closed
+        offs = []
+        for i in range(self.n_seg):
+            offs.append(np.load(self._seg_paths(i)[2]))
+        per_bucket = np.zeros(self.n_buckets, dtype=np.int64)
+        for o in offs:
+            per_bucket += np.diff(o)
+
+        def read_rows(path, lo, hi, flat=False):
+            with open(path, "rb") as f:
+                version = np.lib.format.read_magic(f)
+                reader = (np.lib.format.read_array_header_1_0
+                          if version == (1, 0)
+                          else np.lib.format.read_array_header_2_0)
+                shape, fortran, dtype = reader(f)
+                assert not fortran
+                w = shape[1] if len(shape) > 1 else 1
+                f.seek(lo * dtype.itemsize * w, os.SEEK_CUR)
+                raw = f.read((hi - lo) * dtype.itemsize * w)
             a = np.frombuffer(raw, dtype=dtype)
             return a if flat else a.reshape(-1, w)
 
-        try:
-            yield from self._iter_merged_buckets(segs, read_rows, _merge_runs,
-                                                 ci, cs)
-        finally:
-            for fk, _, _, _, fc, _, _, _ in segs:
-                fk.close()
-                fc.close()
-
-    def _iter_merged_buckets(self, segs, read_rows, _merge_runs, ci, cs):
-        for b in range(self.n_buckets):
-            parts_k = []
-            parts_c = []
-            for fk, bk, dk, w, fc, bc, dc, o in segs:
-                if o[b] < o[b + 1]:
-                    parts_k.append(read_rows(fk, bk, dk, w, o[b], o[b + 1]))
-                    parts_c.append(
-                        read_rows(fc, bc, dc, 1, o[b], o[b + 1], flat=True)
-                    )
-            if not parts_k:
+        b = 0
+        while b < self.n_buckets:
+            # group [b, b_hi): at least one bucket, capped by record budget
+            b_hi = b + 1
+            total = int(per_bucket[b])
+            while (b_hi < self.n_buckets
+                   and total + per_bucket[b_hi] <= self.MERGE_GROUP_RECORDS):
+                total += int(per_bucket[b_hi])
+                b_hi += 1
+            if total == 0:
+                b = b_hi
                 continue
-            # each slice is a sorted distinct run (chunks were sorted and
-            # the bucket partition is stable) -> tree-fold of linear
-            # merges instead of a full re-sort of the concatenation
-            runs = [(np.asarray(k), np.asarray(c).astype(np.int64))
-                    for k, c in zip(parts_k, parts_c)]
-            while len(runs) > 1:
-                nxt = []
-                for i in range(0, len(runs) - 1, 2):
-                    nxt.append(_merge_runs(runs[i][0], runs[i][1],
-                                           runs[i + 1][0], runs[i + 1][1]))
-                if len(runs) & 1:
-                    nxt.append(runs[-1])
-                runs = nxt
-            keys, summed = runs[0]
-            keep = summed >= ci
-            yield keys[keep], np.minimum(summed[keep], cs).astype(np.uint32)
+
+            # one sequential read per segment for the whole group
+            group_parts: list[list] = [[] for _ in range(b_hi - b)]
+            for i in range(self.n_seg):
+                o = offs[i]
+                lo, hi = int(o[b]), int(o[b_hi])
+                if lo == hi:
+                    continue
+                pk, pc, _ = self._seg_paths(i)
+                keys = read_rows(pk, lo, hi)
+                cnts = read_rows(pc, lo, hi, flat=True)
+                for j in range(b_hi - b):
+                    s, e = int(o[b + j]) - lo, int(o[b + j + 1]) - lo
+                    if s < e:
+                        group_parts[j].append(
+                            (keys[s:e], cnts[s:e].astype(np.int64))
+                        )
+
+            for j in range(b_hi - b):
+                runs = group_parts[j]
+                if not runs:
+                    continue
+                # each slice is a sorted distinct run (chunks were sorted
+                # and the bucket partition is stable) -> tree-fold of
+                # linear merges instead of a full re-sort
+                while len(runs) > 1:
+                    nxt = []
+                    for i in range(0, len(runs) - 1, 2):
+                        nxt.append(_merge_runs(runs[i][0], runs[i][1],
+                                               runs[i + 1][0], runs[i + 1][1]))
+                    if len(runs) & 1:
+                        nxt.append(runs[-1])
+                    runs = nxt
+                keys, summed = runs[0]
+                keep = summed >= ci
+                yield keys[keep], np.minimum(summed[keep], cs).astype(np.uint32)
+            b = b_hi
 
     def cleanup(self) -> None:
         self.drop_segments_from(0)

@@ -114,6 +114,12 @@ class BF:
         cnt_idx = self.rank[word] + np.bitwise_count(below).astype(np.uint64)
         return is_set, cnt_idx.astype(np.int64)
 
+    def count_slots(self, kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Public (is_set, counter index) resolution — the
+        sample-independent half of get_counts; any counter plane then
+        answers with ``plane[idx]`` where is_set (batch genotyping)."""
+        return self._count_indices(kmers)
+
     def increment_keys(self, kmers: np.ndarray, counters: np.ndarray) -> None:
         if not self.mode or len(kmers) == 0:
             return

@@ -25,6 +25,7 @@ class KMAP:
     def __init__(self):
         self._kmers: dict[bytes, int] = {}
         self._fast: dict[int, np.ndarray] = {}  # probe width -> sorted void keys
+        self._slots: dict[bytes, int] | None = None  # key -> insertion index
 
     @property
     def kmers(self) -> dict:
@@ -36,6 +37,7 @@ class KMAP:
         # membership cache is keyed on the KEY SET and must not survive
         self._kmers = d
         self._fast.clear()
+        self._slots = None
 
     def _fast_index(self, k: int):
         """Sorted packed view of the pure-ACGT length-k keys, for a
@@ -90,6 +92,7 @@ class KMAP:
 
     def add_keys(self, kmers: np.ndarray) -> None:
         self._fast.clear()
+        self._slots = None
         for key in _keys(kmers):
             self.kmers[key] = 0
 
@@ -107,6 +110,36 @@ class KMAP:
             v = d.get(key)
             if v is not None:
                 d[key] = (v + int(c)) & 0xFFFFFFFF
+
+    # -- batch counter planes ----------------------------------------------
+    # A "plane" is one sample's counter VALUES as a uint32 array in key
+    # insertion order — 4 B/key instead of a full per-sample dict copy
+    # (pipeline.call_batch keeps N of these alive at once).
+
+    def snapshot_values(self) -> np.ndarray:
+        """Current counter values, in the order get_slots indexes."""
+        return np.fromiter(self._kmers.values(), dtype=np.uint32,
+                           count=len(self._kmers))
+
+    def get_slots(self, kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(found bool, slot int64) per query — the sample-independent half
+        of get_counts: canonicalization + membership resolved once, then
+        any plane answers with ``plane[slot]`` (reinterpreted signed, as
+        get_counts does)."""
+        if self._slots is None or len(self._slots) != len(self._kmers):
+            self._slots = {k: i for i, k in enumerate(self._kmers)}
+        sm = self._slots
+        found = np.zeros(len(kmers), dtype=bool)
+        out = np.zeros(len(kmers), dtype=np.int64)
+        ck = truncate_at_nul(canonical(kmers))
+        maybe = self._match_mask(kmers, ck)
+        rows = np.nonzero(maybe)[0] if maybe is not None else range(len(kmers))
+        for i in rows:
+            v = sm.get(ck[i].tobytes().rstrip(b"\x00"))
+            if v is not None:
+                found[i] = True
+                out[i] = v
+        return found, out
 
     def get_counts(self, kmers: np.ndarray) -> np.ndarray:
         d = self.kmers

@@ -3,11 +3,13 @@
 Scalar host mirror of the reference's genotyping math (reference:
 var_block.hpp:224-330 and 337-396), replicating its numeric quirks:
 
-* allele frequencies are float32; products/quotients involving the
-  error rate or frequencies are computed in *float32* before being
-  promoted to double inside log() (C usual-arithmetic-conversions:
-  ``int OP float -> float``), e.g. ``log(2*f1*f2)`` rounds 2*f1*f2 to
-  float32 first;
+* allele frequencies are float32, and — the reference being C++ —
+  ``log(float_expr)`` resolves to the FLOAT overload (logf): priors and
+  the per-term posterior products (``truth * log(1-err)`` etc.) are
+  float32 end to end, widening to double only at the additive
+  accumulation.  The mirror calls libm's logf via ctypes so the rounding
+  is the oracle's own (exposed by the -v 6-decimal rendering, which the
+  fuzz gate covers; GQ-only output hides sub-rounding differences);
 * the log-binomial uses the Stirling form n·ln n − k·ln k − (n−k)·ln(n−k)
   with the 0/n==k/k==0 guard (var_block.hpp:792-797);
 * an allele coverage above max_cov short-circuits the variant to the
@@ -102,52 +104,79 @@ def genotype_block_py(
 
         n_all = len(v.coverages)
         if haploid:
+            l1 = _logf(F32(1) - er)
+            l2 = _logf(er / F32(n_all - 1))
             for g1 in range(n_all):
                 truth = v.coverages[g1]
                 error = total_sum - truth
-                log_prior = 2 * _log(v.frequencies[g1])
+                log_prior = float(F32(2) * _logf(v.frequencies[g1]))
                 log_post = (
                     log_binomial(truth + error, truth)
-                    + truth * _log(F32(1) - er)
-                    + error * _log(er / F32(n_all - 1))
+                    + float(F32(truth) * l1)      # float multiplies,
+                    + float(F32(error) * l2)      # double adds
                 )
                 _store(v, f"{g1}", log_prior + log_post)
         else:
+            l1 = _logf(F32(1) - er)
+            l2 = _logf(er / F32(n_all - 1))
+            lh = _logf((F32(1) - er) / F32(2))
+            le = _logf(er / F32(n_all - 2)) if n_all > 2 else F32(0)
             for g1 in range(n_all):
                 for g2 in range(g1, n_all):
                     if g1 == g2:
-                        log_prior = 2 * _log(v.frequencies[g1])
+                        log_prior = float(F32(2) * _logf(v.frequencies[g1]))
                         truth = v.coverages[g1]
                         error = total_sum - truth
                         log_post = (
                             log_binomial(truth + error, truth)
-                            + truth * _log(F32(1) - er)
-                            + error * _log(er / F32(n_all - 1))
+                            + float(F32(truth) * l1)
+                            + float(F32(error) * l2)
                         )
                     else:
-                        log_prior = _log(F32(2) * v.frequencies[g1] * v.frequencies[g2])
+                        log_prior = float(
+                            _logf(F32(2) * v.frequencies[g1] * v.frequencies[g2])
+                        )
                         t1 = v.coverages[g1]
                         t2 = v.coverages[g2]
                         error = total_sum - t1 - t2
                         log_post = (
                             log_binomial(t1 + t2 + error, t1 + t2)
                             + log_binomial(t1 + t2, t1)
-                            + t1 * _log((F32(1) - er) / F32(2))
-                            + t2 * _log((F32(1) - er) / F32(2))
+                            + float(F32(t1) * lh)
+                            + float(F32(t2) * lh)
                         )
                         if n_all > 2:
-                            log_post += error * _log(er / F32(n_all - 2))
+                            log_post += float(F32(error) * le)
                     _store(v, f"{g1}/{g2}", log_prior + log_post)
 
 
-def _log(x32) -> float:
-    """log() of a float32 operand promoted to double (C semantics)."""
-    x = float(F32(x32))
+def _load_logf():
+    import ctypes
+
+    try:
+        libm = ctypes.CDLL("libm.so.6")
+        fn = libm.logf
+        fn.restype = ctypes.c_float
+        fn.argtypes = [ctypes.c_float]
+        return fn
+    except OSError:  # non-glibc fallback: double log rounded to f32
+        return None
+
+
+_LOGF = _load_logf()
+
+
+def _logf(x32) -> F32:
+    """logf() of a float32 operand — the C++ float overload the reference
+    hits (see module docstring)."""
+    x = F32(x32)
     if x == 0.0:
-        return -math.inf
+        return F32(-math.inf)
     if x < 0.0:
-        return math.nan
-    return math.log(x)
+        return F32(math.nan)
+    if _LOGF is not None:
+        return F32(_LOGF(float(x)))
+    return F32(math.log(float(x)))
 
 
 def _store(v: Variant, geno: str, log_prob: float) -> None:
@@ -182,9 +211,13 @@ def format_variants(variants: list[Variant], haploid: bool, verbose: bool) -> li
                 best_geno = geno
                 best_qual = qual
             if verbose:
-                gts_parts.append(f"{geno}:{qual:.6f}")
+                # std::to_string == %f; 0.0/0.0 on x86 SSE yields the
+                # sign-bit-set QNaN, which glibc prints as "-nan"
+                # (var_block.hpp:388 renders exactly that)
+                txt = "-nan" if math.isnan(qual) else f"{qual:.6f}"
+                gts_parts.append(f"{geno}:{txt}")
         if verbose:
-            info += ";GTS=" + ",".join(gts_parts) if gts_parts else ";GTS="
+            info += ";GTS=" + ",".join(gts_parts)
         gq = int(math.floor(best_qual * 100 + 0.5))
         lines.append(
             f"{v.seq_name}\t{v.ref_pos + 1}\t{v.idx}\t{v.ref_sub.decode()}\t"

@@ -339,7 +339,13 @@ def _set_coverages_flat(index: Index, flat) -> None:
         w_flat[np.asarray(slots_l, dtype=np.int64)] = vals[
             np.asarray(uidx_l, dtype=np.int64)
         ]
+    _scan_and_assign(w_flat, flat)
 
+
+def _scan_and_assign(w_flat: np.ndarray, flat) -> None:
+    """Mean/max coverage scan over resolved k-mer weights + write-back
+    into the Variant objects (main.cpp:162-181 semantics)."""
+    _by_q, _slot, sig_lens, allele_nsig, targets = flat
     sl = np.asarray(sig_lens, dtype=np.int64)
     an = np.asarray(allele_nsig, dtype=np.int64)
     cov = native.coverage(w_flat, sl, an)
@@ -364,6 +370,44 @@ def _set_coverages_flat(index: Index, flat) -> None:
     for (variants, v_idx, allele_idx), c in zip(targets, cov.tolist()):
         if allele_idx >= 0:
             variants[v_idx].set_coverage(allele_idx, c)
+
+
+def _flat_query_info(index: Index, flat) -> list:
+    """Sample-independent resolution of a flat group's unique queries:
+    canonicalization, hashing, Bloom bit/rank lookups, exact-map slot
+    lookups — everything that does NOT touch counter values.  Batch mode
+    runs this once per group and answers each sample from its counter
+    PLANE (uint16 BF counters + uint32 KMAP values, see call_batch)."""
+    by_q, slot, _sig_lens, _allele_nsig, _targets = flat
+    qs = []
+    for (is_ref, length), (uniq, slots_l, uidx_l) in by_q.items():
+        arr = np.frombuffer(b"".join(uniq), dtype=np.uint8).reshape(-1, length)
+        slots_a = np.asarray(slots_l, dtype=np.int64)
+        uidx_a = np.asarray(uidx_l, dtype=np.int64)
+        if is_ref:
+            found, kslot = index.ref_bf.get_slots(arr)
+            qs.append((True, slots_a, uidx_a, found, kslot))
+        else:
+            is_set, cnt_idx = index.bf.count_slots(arr)
+            qs.append((False, slots_a, uidx_a, is_set, cnt_idx))
+    return [qs, slot]
+
+
+def _weights_from_planes(qinfo: list, bf_plane: np.ndarray,
+                         kmap_plane: np.ndarray) -> np.ndarray:
+    """Per-sample weight assembly from a resolved query set: gather the
+    plane values (BF counters mod 2^16; KMAP values reinterpreted signed,
+    as KMAP.get_counts does)."""
+    qs, slot = qinfo
+    w_flat = np.zeros(slot, dtype=np.int64)
+    for is_ref, slots_a, uidx_a, found, idx in qs:
+        vals = np.zeros(found.shape[0], dtype=np.int64)
+        if is_ref:
+            vals[found] = kmap_plane[idx[found]].astype(np.int32)
+        else:
+            vals[found] = bf_plane[idx[found]]
+        w_flat[slots_a] = vals[uidx_a]
+    return w_flat
 
 
 def _set_coverages_group(index: Index, group: list[tuple[list, dict]]) -> None:
@@ -569,16 +613,21 @@ def call_batch(
     * the index (the expensive artifact) is built/loaded once and its
       device upload is reused across samples;
     * phase A streams each sample's distinct k-mers through the query
-      step into a per-sample COUNTER PLANE (a snapshot of the
-      rank-compressed counters + exact-map values);
-    * phase B makes ONE pass over the VCF — variant blocks are parsed
-      and their signature k-mers extracted once, then each sample's
-      plane is installed for coverage/genotyping/emission.
+      step into a per-sample COUNTER PLANE: uint16 rank-compressed BF
+      counters (the mod-2^16 wrap is applied at read anyway) + a uint32
+      exact-map value array in key order — 2 B/set-bit + 4 B/key per
+      sample instead of a u32 array + full dict copy, so an N-sample
+      batch stays within a fixed RAM budget even at WGS fill;
+    * phase B makes ONE pass over the VCF — variant blocks are parsed,
+      their signature k-mers extracted, and every query resolved to
+      (bf counter index | kmap slot) ONCE per group; each sample then
+      only gathers its plane values (no re-hashing per sample).
 
     Counter state is per-sample by construction (zeroed planes), so
     results are byte-identical to N independent `call` runs — amortizing
     the VCF parse and the 2^n signature combinatorics across samples is
-    pure reuse, not a semantic change."""
+    pure reuse, not a semantic change.  The index's counter state is
+    unspecified after this returns."""
     timer = timer or PhaseTimer()
     refs = load_reference(cfg.fasta_path, cfg.strip_chr)
     timer.pelapsed("Reference processed")
@@ -606,8 +655,10 @@ def call_batch(
                 apply_sample_counts_device(index, contexts, counts, cfg, dev=dev)
             else:
                 apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
-        planes.append((index.bf.counts, dict(index.ref_bf.kmers)))
-        index.bf.counts = np.zeros_like(index.bf.counts)
+        planes.append((
+            index.bf.counts.astype(np.uint16),  # truncation == mod 2^16
+            index.ref_bf.snapshot_values(),
+        ))
         timer.pelapsed(f"Counters ready: {sample_path}")
 
     # phase B: one VCF pass, all samples
@@ -618,13 +669,13 @@ def call_batch(
     n = 0
     for group in _iter_block_groups(cfg, refs):
         all_vars = [v for variants, _ in group for v in variants]
-        flat = _flatten_group(group)  # plane-independent: flatten ONCE
-        for (bf_counts, kmap_vals), out in zip(planes, outs):
-            index.bf.counts = bf_counts
-            index.ref_bf.kmers = kmap_vals
+        flat = _flatten_group(group)       # plane-independent: flatten ONCE
+        qinfo = _flat_query_info(index, flat)  # ... and resolve ONCE
+        for (bf_plane, kmap_plane), out in zip(planes, outs):
             for v in all_vars:
                 v.computed_gts = []
-            _set_coverages_flat(index, flat)
+            _scan_and_assign(_weights_from_planes(qinfo, bf_plane, kmap_plane),
+                             flat)
             genotype_block(all_vars, cfg.max_coverage, cfg.haploid, cfg.error_rate)
             for line in format_variants(all_vars, cfg.haploid, cfg.verbose):
                 out.write(line + "\n")

@@ -255,11 +255,16 @@ extern "C" int64_t malva_parse_gt(const uint8_t* s, int64_t len,
 
 namespace {
 
-inline double xlog(float x) {
-  double d = (double)x;
-  if (d == 0.0) return -INFINITY;
-  if (d < 0.0) return NAN;
-  return std::log(d);
+// The reference is C++: `log(float_expr)` resolves to the FLOAT overload
+// (logf), so priors and per-term posteriors are float32 all the way
+// through the multiply, widening to double only at the additive
+// accumulation (var_block.hpp:275-317 with float `frequencies` /
+// `error_rate`).  Verified against the oracle to the last bit on the
+// verbose (-v) 6-decimal rendering, which exposes sub-GQ differences.
+inline float xlogf(float x) {
+  if (x == 0.0f) return -INFINITY;
+  if (x < 0.0f) return NAN;
+  return std::log(x);  // float overload == logf, same libm as the oracle
 }
 
 inline double log_binomial(int64_t n, int64_t k) {
@@ -300,10 +305,10 @@ int64_t malva_genotype_block(const int64_t* cov, const float* freqs,
       if (w + n_all > max_probs) return -1;
       for (int64_t g1 = 0; g1 < n_all; ++g1) {
         int64_t truth = c[g1], error = total - truth;
-        double log_prior = 2 * xlog(f[g1]);
+        double log_prior = 2 * xlogf(f[g1]);           // int*float -> float
         double log_post = log_binomial(truth + error, truth)
-            + (double)truth * xlog(1.0f - er)
-            + (double)error * xlog(er / (float)(n_all - 1));
+            + (float)truth * xlogf(1.0f - er)          // float multiplies,
+            + (float)error * xlogf(er / (float)(n_all - 1));  // double adds
         probs[w++] = store(log_prior + log_post);
       }
       n_out[v] = (int32_t)n_all;
@@ -314,21 +319,21 @@ int64_t malva_genotype_block(const int64_t* cov, const float* freqs,
         for (int64_t g2 = g1; g2 < n_all; ++g2) {
           double log_prior, log_post;
           if (g1 == g2) {
-            log_prior = 2 * xlog(f[g1]);
+            log_prior = 2 * xlogf(f[g1]);
             int64_t truth = c[g1], error = total - truth;
             log_post = log_binomial(truth + error, truth)
-                + (double)truth * xlog(1.0f - er)
-                + (double)error * xlog(er / (float)(n_all - 1));
+                + (float)truth * xlogf(1.0f - er)
+                + (float)error * xlogf(er / (float)(n_all - 1));
           } else {
-            log_prior = xlog(2.0f * f[g1] * f[g2]);
+            log_prior = xlogf(2.0f * f[g1] * f[g2]);
             int64_t t1 = c[g1], t2 = c[g2];
             int64_t error = total - t1 - t2;
             log_post = log_binomial(t1 + t2 + error, t1 + t2)
                 + log_binomial(t1 + t2, t1)
-                + (double)t1 * xlog((1.0f - er) / 2.0f)
-                + (double)t2 * xlog((1.0f - er) / 2.0f);
+                + (float)t1 * xlogf((1.0f - er) / 2.0f)
+                + (float)t2 * xlogf((1.0f - er) / 2.0f);
             if (n_all > 2)
-              log_post += (double)error * xlog(er / (float)(n_all - 2));
+              log_post += (float)error * xlogf(er / (float)(n_all - 2));
           }
           probs[w++] = store(log_prior + log_post);
         }

@@ -160,17 +160,28 @@ def write_reads(path, ref, records, rng, n_reads=400, read_len=120, err=0.002):
 
 
 def gen_case(tmpdir, seed, n_samples=4, haploid=False, ref_len=4000, n_var=60,
-             iupac_rate=0.002, edge=False):
+             iupac_rate=0.002, edge=False, fa_name="ctg1", vcf_name=None,
+             n_read_sets=1):
+    """``fa_name``/``vcf_name`` let the FASTA id and VCF CHROM differ
+    (the -p strip_chr flag only rewrites FASTA ids upstream,
+    main.cpp:288-291).  ``n_read_sets`` > 1 returns a list of read paths
+    (independent mutated-haplotype samples for batch-mode fuzzing)."""
     rng = np.random.default_rng(seed)
     ref = gen_reference(rng, ref_len, iupac_rate=iupac_rate)
     records = gen_variants(rng, ref, n_var, n_samples, haploid=haploid, edge=edge)
     fa = f"{tmpdir}/ref.fa"
     with open(fa, "w") as f:
-        f.write(">ctg1\n")
+        f.write(f">{fa_name}\n")
         for i in range(0, len(ref), 70):
             f.write(ref[i : i + 70] + "\n")
     vcf = f"{tmpdir}/vars.vcf"
-    write_vcf(vcf, "ctg1", len(ref), records, n_samples)
+    write_vcf(vcf, vcf_name or fa_name, len(ref), records, n_samples)
+    if n_read_sets > 1:
+        reads = []
+        for j in range(n_read_sets):
+            reads.append(f"{tmpdir}/reads{j}.fa")
+            write_reads(reads[-1], ref, records, rng)
+        return fa, vcf, reads
     reads = f"{tmpdir}/reads.fa"
     write_reads(reads, ref, records, rng)
     return fa, vcf, reads

@@ -33,9 +33,9 @@ def oracle_bin():
     return ORACLE
 
 
-def run_oracle(oracle_bin, fa, vcf, reads, haploid, tmp, samples=None):
+def run_oracle(oracle_bin, fa, vcf, reads, haploid, tmp, samples=None, extra=()):
     env = dict(os.environ, MALVA_ORACLE_REFK="43")
-    args = ["-k", "35", "-r", "43", "-b", "1", "-f", "AF"]
+    args = ["-k", "35", "-r", "43", "-b", "1", "-f", "AF"] + list(extra)
     if samples:
         args += ["-s", samples]
     if haploid:
@@ -159,6 +159,51 @@ def test_fuzz_bcf_input_matches_oracle(oracle_bin, tmp_path, seed, haploid):
     write_bcf(bcf, r.meta_lines, r.sample_names, list(r), freq_key="AF")
     got = run_pipeline(fa, bcf, reads, haploid)
     assert got == want
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,haploid", [(19, False), (20, True)])
+def test_fuzz_verbose_matches_oracle(oracle_bin, tmp_path, seed, haploid):
+    """-v: COVS/GTS INFO fields + the two extra header lines
+    (reference: main.cpp:205-208, var_block.hpp:337-365)."""
+    d = str(tmp_path)
+    fa, vcf, reads = gen_case(d, seed, haploid=haploid)
+    want = run_oracle(oracle_bin, fa, vcf, reads, haploid, d, extra=["-v"])
+    got = run_pipeline(fa, vcf, reads, haploid, verbose=True)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_fuzz_strip_chr_matches_oracle(oracle_bin, tmp_path):
+    """-p strips "chr" from FASTA ids ONLY (main.cpp:288-291,470-473);
+    VCF CHROMs pass through untouched.  The intended use: chr-prefixed
+    FASTA vs bare VCF contig names.  (A VCF that ALSO says "chrZ" under
+    -p aborts the reference outright — refs.at() on a missing contig —
+    so that degenerate case stays out of the gate, like other UB.)"""
+    d = str(tmp_path)
+    fa, vcf, reads = gen_case(d, 21, haploid=False, fa_name="chrZ",
+                              vcf_name="Z")
+    want = run_oracle(oracle_bin, fa, vcf, reads, False, d, extra=["-p"])
+    got = run_pipeline(fa, vcf, reads, False, strip_chr=True)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_fuzz_batch_mode_matches_oracle(oracle_bin, tmp_path):
+    """call_batch over N read sets == N independent oracle runs, byte for
+    byte (counter planes are per-sample by construction)."""
+    from malva_tpu.pipeline import call_batch
+
+    d = str(tmp_path)
+    fa, vcf, read_sets = gen_case(d, 23, haploid=False, n_read_sets=3)
+    wants = [run_oracle(oracle_bin, fa, vcf, r, False, d) for r in read_sets]
+
+    cfg = Config(fasta_path=fa, vcf_path=vcf, sample_path=read_sets[0],
+                 bf_size=Config.bf_gb_to_bits(1))
+    index = build_index(cfg)
+    bufs = [io.StringIO() for _ in read_sets]
+    call_batch(cfg, index, read_sets, bufs)
+    assert [b.getvalue() for b in bufs] == wants
 
 
 @pytest.mark.slow

@@ -55,6 +55,82 @@ def test_kmc_db_equals_text_dump(tmp_path):
     assert bd == td
 
 
+def _write_kmc1_db(prefix, kmers, counts, lut_prefix_length=3, counter_size=2):
+    """Hand-crafted KMC1 (version-0) database, built byte-by-byte from the
+    published format — deliberately NOT via io.kmc.write_kmc_db (which only
+    emits v2), so the reader's v0 branch is exercised against an
+    independent construction.  v0 differences: no signature map between
+    LUT and header, no signature_len header field, version tag 0."""
+    import struct
+
+    n, k = kmers.shape
+    assert (k - lut_prefix_length) % 4 == 0
+    code = np.full(256, 255, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        code[ch] = i
+    codes = code[kmers].astype(np.uint64)
+    assert codes.max() <= 3
+
+    # sort by k-mer (2-bit order), as KMC stores records
+    keyw = np.zeros((n, (k + 31) // 32), dtype=np.uint64)
+    for j in range(k):
+        keyw[:, j // 32] |= codes[:, j] << np.uint64(2 * (31 - (j % 32)))
+    order = np.lexsort(tuple(keyw[:, w] for w in range(keyw.shape[1] - 1, -1, -1)))
+    codes, counts = codes[order], np.asarray(counts, np.uint32)[order]
+
+    prefix_vals = np.zeros(n, dtype=np.int64)
+    for j in range(lut_prefix_length):
+        prefix_vals = (prefix_vals << 2) | codes[:, j].astype(np.int64)
+    n_pref = 1 << (2 * lut_prefix_length)
+    per = np.zeros(n_pref, np.int64)
+    np.add.at(per, prefix_vals, 1)
+    lut = np.zeros(n_pref + 1, dtype="<u8")
+    lut[1:] = np.cumsum(per)
+
+    suffix_bytes = (k - lut_prefix_length) // 4
+    rec = np.zeros((n, suffix_bytes + counter_size), dtype=np.uint8)
+    for j in range(k - lut_prefix_length):
+        rec[:, j // 4] |= codes[:, lut_prefix_length + j].astype(np.uint8) << np.uint8(
+            2 * (3 - (j % 4))
+        )
+    for b in range(counter_size):
+        rec[:, suffix_bytes + b] = (counts >> np.uint32(8 * b)).astype(np.uint8)
+
+    header = struct.pack("<4I", k, 0, counter_size, lut_prefix_length)
+    header += struct.pack("<2I", 2, 255)           # min_count, max_count
+    header += struct.pack("<Q", n)
+    header += bytes([0, 0, 0, 0])                  # both_strands (inverted) + pad
+    header += struct.pack("<I", 0)                 # KMC1 version tag
+    with open(prefix + ".kmc_pre", "wb") as f:
+        f.write(b"KMCP" + lut.tobytes() + header)
+        f.write(struct.pack("<I", len(header)) + b"KMCP")
+    with open(prefix + ".kmc_suf", "wb") as f:
+        f.write(b"KMCS" + rec.tobytes() + b"KMCS")
+
+
+def test_kmc1_v0_database(tmp_path):
+    """read_kmc_db on a hand-crafted KMC1 (version-0) database == the v2
+    path on identical records (exercises io/kmc.py's v0 header/LUT branch,
+    previously dead-untested)."""
+    kmers, counts = _canon_kmers(4000, 43, seed=11)
+    counts = np.minimum(counts, 0xFFFF).astype(np.uint32)  # counter_size=2
+    p1, p2 = str(tmp_path / "v0"), str(tmp_path / "v2")
+    _write_kmc1_db(p1, kmers, counts, lut_prefix_length=3, counter_size=2)
+    write_kmc_db(p2, kmers, counts, counter_size=2)
+
+    k0, c0, info0 = read_kmc_db(p1)
+    k2, c2, info2 = read_kmc_db(p2)
+    assert info0["version"] == 0 and info0["signature_len"] == 0
+    assert info0["kmer_length"] == 43 and info0["both_strands"]
+    np.testing.assert_array_equal(k0, k2)
+    np.testing.assert_array_equal(c0, c2)
+
+    # pipeline entry accepts the v0 database too
+    lk, lc = load_kmc_db(p1, 43)
+    np.testing.assert_array_equal(lk, k2)
+    np.testing.assert_array_equal(lc, c2)
+
+
 def test_kmc_k_mismatch(tmp_path):
     kmers, counts = _canon_kmers(100, 31, seed=1)
     prefix = str(tmp_path / "db")

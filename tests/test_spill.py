@@ -45,6 +45,39 @@ def test_spill_matches_inram(tmp_path, ref_k, ci, cs):
     assert not any(f.endswith(".npy") for f in os.listdir(tmp_path / "spill"))
 
 
+def test_spill_merge_many_segments_low_fd_limit(tmp_path, monkeypatch):
+    """The merge must survive n_segments >> RLIMIT_NOFILE (a 30x human
+    genome makes >6,000 segments; holding 2 FDs per segment open blows the
+    default 1024 ulimit).  Tiny chunks force ~200 segments, the soft FD
+    limit drops to 48, and a 1-record group budget forces the maximum
+    number of bucket groups — output must still equal the in-RAM counter."""
+    import resource
+
+    reads = _write_reads(str(tmp_path / "reads.fa"), n_reads=500, seed=11,
+                         err_chars=b"ACGT")
+    keys_ram, cnts_ram = count_reads_kmers(
+        reads, 31, return_packed=True, log=open(os.devnull, "w"))
+
+    monkeypatch.setattr(spill_mod.SpillStore, "MERGE_GROUP_RECORDS", 1)
+    soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    resource.setrlimit(resource.RLIMIT_NOFILE, (48, hard))
+    try:
+        got = {}
+        n_seg = 0
+        it = count_reads_kmers_spill(
+            reads, 31, str(tmp_path / "spill"), chunk_kmers=1 << 8,
+            n_buckets=64, log=open(os.devnull, "w"), keep_spill=True,
+        )
+        for keys, cnts in it:
+            got.update(_as_dict(keys, cnts))
+        n_seg = len([f for f in os.listdir(tmp_path / "spill")
+                     if f.endswith(".keys.npy")])
+    finally:
+        resource.setrlimit(resource.RLIMIT_NOFILE, (soft, hard))
+    assert n_seg > 100, f"expected many segments, got {n_seg}"
+    assert got == _as_dict(keys_ram, cnts_ram)
+
+
 def test_spill_resume_after_crash(tmp_path, monkeypatch):
     reads = _write_reads(str(tmp_path / "reads.fa"), n_reads=600, seed=7)
     spill_dir = str(tmp_path / "spill")
