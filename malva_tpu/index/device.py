@@ -352,7 +352,8 @@ def packed64_to_u32(keys_u64: np.ndarray, ref_k: int) -> np.ndarray:
 def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
                           batch: int, cap: int | None = None,
                           minifilter: bool = True, use_pallas: bool | None = None,
-                          interpret: bool = False, donate: bool | None = None):
+                          interpret: bool = False, donate: bool | None = None,
+                          seg_c: int | None = None):
     """Lane-compacted call step over 2-BIT PACKED contexts — bit-exact with
     :func:`make_call_step_compact` for pure-ACGT canonical contexts (the
     counter's output contract), measured ~1.7x faster on v5e:
@@ -369,6 +370,17 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
     step(bf_packed, state, ctx_words, kmap_keys, ctx_packed, counters)
       -> state.  ctx_packed: (batch, ceil(ref_k/16)) uint32; batch must be
     a multiple of 128 when the Pallas front end is active.
+
+    Compaction is SEGMENTED: the batch splits into rows of 16K lanes and
+    each row sorts independently (one batched lax.sort along the minor
+    axis — ~4x cheaper than one full-batch sort on v5e, the sort being
+    the largest non-gather cost).  Each row contributes its first T
+    entries to the tail; a row with more than T interesting lanes is
+    detected from the sorted keys themselves (entry T still interesting)
+    and falls through to the next tier / full path, so results never
+    depend on T.  Lanes are uniform-random w.r.t. row assignment, so at
+    WGS fill P(row overflow at the working tier) is binomially negligible
+    and the fallback is compile-time-only in practice.
     """
     import jax
     import jax.numpy as jnp
@@ -395,6 +407,10 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
     cap = min(cap, batch)
     kv_len = n_buckets * SLOTS
     assert batch < (1 << 31), "sort key packs lane into 31 bits"
+    if seg_c is None:
+        seg_c = 16384 if (batch % 16384 == 0 and batch >= 32768) else batch
+    assert batch % seg_c == 0
+    segs = batch // seg_c
     if use_pallas:
         assert batch % 128 == 0, "Pallas front end needs batch % 128 == 0"
         hash_fn = make_callstep_hash_fn(k, ref_k, interpret=interpret,
@@ -468,25 +484,36 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
         else:
             kmap_cand = jnp.ones(batch, bool)
         interesting = is_set | kmap_cand
-        n_int = jnp.sum(interesting.astype(jnp.int32))
         counters_u = counters.astype(jnp.uint32)
 
-        def make_compact_path(c: int):
-            """Tail of size c (c >= n_int at call time, by the cond tree)."""
+        # segmented single-key sort: bit 31 = boring, low bits = global
+        # lane (consecutive within a row, so per-row order == stable
+        # global order restricted to the row)
+        lane = jnp.arange(batch, dtype=jnp.uint32)
+        key = (((~interesting).astype(jnp.uint32) << 31) | lane).reshape(
+            segs, seg_c)
+        seg_sorted = lax.sort(key, dimension=1)
+        # tail source: ctx words + counter in ONE row, so the tail pays a
+        # single source gather (full-batch concat is a cheap linear copy)
+        src_cat = jnp.concatenate(
+            [ctx_packed, counters_u[:, None]], axis=1)      # (batch, wc+1)
+
+        def make_compact_path(t: int):
+            """Tail of segs * t lanes (every row fits t at call time, by
+            the cond tree).  Boring filler lanes are exact no-ops: their
+            is_set and kmap_cand flags are both false."""
 
             def compact_path(state):
-                # single-key sort: bit 31 = boring, low bits = lane (stable
-                # order identical to the 2-array sort, ~half its cost)
-                lane = jnp.arange(batch, dtype=jnp.uint32)
-                key = ((~interesting).astype(jnp.uint32) << 31) | lane
-                sel = (lax.sort(key)[:c] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+                sel = (seg_sorted[:, :t].reshape(-1)
+                       & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
-                # no payload matrix: the tail re-gathers its c rows from
-                # the SOURCE arrays (ctx words, counters, bf rows) and
+                # no payload matrix: the tail re-gathers its rows from
+                # the SOURCE arrays (ctx+counter rows, bf rows) and
                 # recomputes everything else — the full-batch part of the
-                # step stays gather + flags + sort key only
-                p_ctx = jnp.take(ctx_packed, sel, axis=0)       # (c, wc)
-                p_counter = jnp.take(counters_u, sel, axis=0)
+                # step stays gather + flags + segmented sort only
+                p = jnp.take(src_cat, sel, axis=0)          # (c, wc+1)
+                p_ctx = p[:, :wc]
+                p_counter = p[:, wc]
 
                 p_chh, p_chl, p_packed = center_hash_rows(p_ctx)
                 p_ch = jnp.stack([p_chh, p_chl], axis=1)
@@ -532,18 +559,26 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
             vals = jnp.concatenate([counters_u, counters_u])
             return state.at[idx].add(vals, mode="drop")
 
-        # tiered tails: every tail-sized access (payload/ctx gathers, probe,
-        # scatter) costs per row, so when few lanes are interesting — the
-        # overwhelmingly common case at WGS fill — a quarter/half tail
-        # halves the post-gather work again.  Results are identical for
-        # any tail >= n_int; the tree picks the smallest sufficient one.
-        tiers = sorted({cap, max(256, cap // 2), max(256, cap // 4)})
+        # tiered tails: every tail-sized access costs per row, so when few
+        # lanes are interesting — the overwhelmingly common case at WGS
+        # fill — a smaller per-row take halves the post-gather work again.
+        # Results are identical for any sufficient tier; the tree picks
+        # the smallest one.  "Row r fits t" is read straight off the
+        # sorted keys: entry t of row r is boring (bit 31 set).
+        t_cap = max(1, cap // segs)
+        tiers = sorted({t_cap, max(64, t_cap // 2), max(64, t_cap // 4)})
+        tiers = [t for t in tiers if t < seg_c]
+
+        def fits(t: int):
+            return jnp.all(seg_sorted[:, t] >> jnp.uint32(31) == jnp.uint32(1))
 
         def dispatch(i, state):
             if i == len(tiers):
+                # a whole-segment tail degenerates to full-batch work —
+                # the plain full path is the cheaper implementation of it
                 return full_path(state)
             return lax.cond(
-                n_int <= tiers[i], make_compact_path(tiers[i]),
+                fits(tiers[i]), make_compact_path(tiers[i]),
                 lambda s: dispatch(i + 1, s), state,
             )
 

@@ -565,6 +565,10 @@ def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) 
     timer.pelapsed(f"VCF parsing and genotyping ({n} variants)")
 
 
+_EMPTY_I32 = np.zeros(0, dtype=np.int32)
+_EMPTY_BOOL = np.zeros(0, dtype=bool)
+
+
 def _iter_block_groups(cfg: Config, refs):
     """Yield groups [(variants, kmers), ...] of flushed call-phase blocks,
     cut at ~GROUP_KMERS queued signature k-mers."""
@@ -579,6 +583,15 @@ def _iter_block_groups(cfg: Config, refs):
         if ref_bytes is None:
             ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
         kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
+        # GT arrays are consumed by extract_kmers (haplotype enumeration);
+        # genotyping/output need only frequencies+coverages.  Dropping them
+        # here keeps a queued group O(variants), not O(variants x samples)
+        # — at 1000G shape (2,504 samples) they are ~22 KB per variant,
+        # dominating pass-2 peak RSS (reference streams pass 2 in O(block),
+        # main.cpp:517-579).
+        for v in vb.variants:
+            v.gt_a1 = v.gt_a2 = _EMPTY_I32
+            v.phase = _EMPTY_BOOL
         group.append((vb.variants, kmers))  # vb.clear() rebinds, list is ours
         queued += sum(
             len(sig)
