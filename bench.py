@@ -143,20 +143,35 @@ def main() -> None:
     assert n_counts < (1 << RANK_BITS)
     state = jnp.zeros(n_counts + kv_len, dtype=jnp.uint32)
 
-    step = make_call_step_packed(35, 43, size_bits, table.n_buckets, BATCH)
+    # production dispatch pattern (index/device.apply_sample_counts_stream):
+    # SCAN_S sub-batches chained inside one dispatch via lax.scan.  The
+    # sub-batch contexts are generated inside the scan body — uniform
+    # random packed rows: every 2-bit base code is a uniform random bit
+    # pair, so raw random words ARE a packed batch (the step never reads
+    # bits past base ref_k-1).
+    from jax import lax
 
-    @jax.jit
-    def make_contexts(i):
-        # uniform random packed contexts: every 2-bit base code is a
-        # uniform random bit pair, so raw random words ARE a packed batch
-        # (the step never reads bits past base ref_k-1)
-        k = jax.random.fold_in(jax.random.PRNGKey(7), i)
-        return jax.random.bits(k, (BATCH, 3), dtype=jnp.uint32)
+    from malva_tpu.index.device import SCAN_S
 
+    inner = make_call_step_packed(35, 43, size_bits, table.n_buckets, BATCH,
+                                  donate=False)
     counters = jnp.ones((BATCH,), dtype=jnp.uint32)
 
+    def scan_step(bf_packed, state, ctx_words, kmap_keys, i, counters):
+        def body(st, j):
+            ctx = jax.random.bits(
+                jax.random.fold_in(jax.random.PRNGKey(7), i * SCAN_S + j),
+                (BATCH, 3), dtype=jnp.uint32)
+            return inner.__wrapped__(
+                bf_packed, st, ctx_words, kmap_keys, ctx, counters), None
+
+        st, _ = lax.scan(body, state, jnp.arange(SCAN_S))
+        return st
+
+    step = jax.jit(scan_step, donate_argnums=(1,))
+
     def it(i, state):
-        return step(bf_packed, state, ctx_words, kmap_keys, make_contexts(i), counters)
+        return step(bf_packed, state, ctx_words, kmap_keys, i, counters)
 
     # block_until_ready does not reliably block on tunneled backends;
     # fetching a reduced scalar is the only trustworthy fence.
@@ -175,8 +190,9 @@ def main() -> None:
         state = it(i, state)
     sync(state)
     dt = time.perf_counter() - t0
-    rate = BATCH * ITERS / dt
-    print(f"[bench] {rate:.3e} kmers/s over {ITERS} iters of {BATCH}", file=sys.stderr)
+    rate = BATCH * SCAN_S * ITERS / dt
+    print(f"[bench] {rate:.3e} kmers/s over {ITERS} iters of {SCAN_S}x{BATCH}",
+          file=sys.stderr)
 
     base = cpu_baseline()
     print(f"[bench] cpu C++-replica baseline ({MODE} fill, {KMAP_KEYS}-key map): "

@@ -105,7 +105,9 @@ class BF:
 
     def _count_indices(self, kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(is_set mask, counter index) for each k-mer (valid where is_set)."""
-        idx = self._indices(kmers)
+        return self._count_from_idx(self._indices(kmers))
+
+    def _count_from_idx(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         word = (idx >> np.uint64(5)).astype(np.int64)
         bit = (idx & np.uint64(31)).astype(np.uint32)
         wvals = self.words[word]
@@ -113,6 +115,25 @@ class BF:
         below = wvals & ((np.uint32(1) << bit) - np.uint32(1))
         cnt_idx = self.rank[word] + np.bitwise_count(below).astype(np.uint64)
         return is_set, cnt_idx.astype(np.int64)
+
+    # -- precomputed-hash entry points (packed host fast path) ---------------
+    def test_hashed(self, h: np.ndarray) -> np.ndarray:
+        """test_keys over precomputed XXH3 values (of the canonical key)."""
+        idx = h % np.uint64(self.size)
+        word = (idx >> np.uint64(5)).astype(np.int64)
+        bit = (idx & np.uint64(31)).astype(np.uint32)
+        return ((self.words[word] >> bit) & np.uint32(1)).astype(bool)
+
+    def increment_hashed(self, h: np.ndarray, counters: np.ndarray) -> None:
+        """increment_keys over precomputed XXH3 values."""
+        if not self.mode or len(h) == 0:
+            return
+        is_set, cnt_idx = self._count_from_idx(h % np.uint64(self.size))
+        from ..utils import native
+
+        idx, vals = cnt_idx[is_set], counters.astype(np.uint32)[is_set]
+        if not native.scatter_add_u32(self.counts, idx, vals):
+            np.add.at(self.counts, idx, vals)
 
     def count_slots(self, kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Public (is_set, counter index) resolution — the

@@ -24,6 +24,7 @@ is the same uint32 math.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -486,13 +487,32 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
         interesting = is_set | kmap_cand
         counters_u = counters.astype(jnp.uint32)
 
-        # segmented single-key sort: bit 31 = boring, low bits = global
-        # lane (consecutive within a row, so per-row order == stable
-        # global order restricted to the row)
-        lane = jnp.arange(batch, dtype=jnp.uint32)
-        key = (((~interesting).astype(jnp.uint32) << 31) | lane).reshape(
-            segs, seg_c)
-        seg_sorted = lax.sort(key, dimension=1)
+        # segmented single-key sort: top bit = boring, low bits = lane
+        # WITHIN the segment (consecutive, so per-row order == stable
+        # global order restricted to the row).  seg_c <= 32768 fits a
+        # uint16 key — half the sort bandwidth of u32.
+        if seg_c <= (1 << 15):
+            lane16 = jnp.broadcast_to(
+                jnp.arange(seg_c, dtype=jnp.uint16)[None, :], (segs, seg_c))
+            key = (((~interesting).astype(jnp.uint16) << 15).reshape(segs, seg_c)
+                   | lane16)
+            seg_sorted = lax.sort(key, dimension=1)
+            flag_shift, lane_mask = 15, (1 << 15) - 1
+            seg_base = (jnp.arange(segs, dtype=jnp.int32) * seg_c)[:, None]
+
+            def tail_sel(t):
+                local = (seg_sorted[:, :t] & jnp.uint16(lane_mask)).astype(jnp.int32)
+                return (seg_base + local).reshape(-1)
+        else:
+            lane = jnp.arange(batch, dtype=jnp.uint32)
+            key = (((~interesting).astype(jnp.uint32) << 31) | lane).reshape(
+                segs, seg_c)
+            seg_sorted = lax.sort(key, dimension=1)
+            flag_shift = 31
+
+            def tail_sel(t):
+                return (seg_sorted[:, :t].reshape(-1)
+                        & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         # tail source: ctx words + counter in ONE row, so the tail pays a
         # single source gather (full-batch concat is a cheap linear copy)
         src_cat = jnp.concatenate(
@@ -504,8 +524,7 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
             is_set and kmap_cand flags are both false."""
 
             def compact_path(state):
-                sel = (seg_sorted[:, :t].reshape(-1)
-                       & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+                sel = tail_sel(t)
 
                 # no payload matrix: the tail re-gathers its rows from
                 # the SOURCE arrays (ctx+counter rows, bf rows) and
@@ -570,7 +589,9 @@ def make_call_step_packed(k: int, ref_k: int, size_bits: int, n_buckets: int,
         tiers = [t for t in tiers if t < seg_c]
 
         def fits(t: int):
-            return jnp.all(seg_sorted[:, t] >> jnp.uint32(31) == jnp.uint32(1))
+            return jnp.all(
+                (seg_sorted[:, t] >> seg_sorted.dtype.type(flag_shift))
+                == seg_sorted.dtype.type(1))
 
         def dispatch(i, state):
             if i == len(tiers):
@@ -738,6 +759,31 @@ def apply_sample_counts_device(
     )
 
 
+# Scan chaining factor of the streaming step: SCAN_S sub-batches run
+# inside ONE dispatch via lax.scan (dispatch + donation overhead
+# amortizes; the H2D transfer batches up too).
+SCAN_S = int(os.environ.get("MALVA_DEVICE_SCAN", "4"))
+
+
+def make_call_step_scan(step_fn):
+    """Wrap an UNJITTED make_call_step_packed step into a jitted lax.scan
+    over (S, batch, wc) context / (S, batch) counter stacks.  Zero-counter
+    sub-batches are exact no-ops, so callers pad partial stacks with
+    zeros.  State is donated at the scan level."""
+    import jax
+    from jax import lax
+
+    def scan_step(bf_packed, state, ctx_words, kmap_keys, ctx_s, cnt_s):
+        def body(st, xs):
+            ctx, cnt = xs
+            return step_fn(bf_packed, st, ctx_words, kmap_keys, ctx, cnt), None
+
+        st, _ = lax.scan(body, state, (ctx_s, cnt_s))
+        return st
+
+    return jax.jit(scan_step, donate_argnums=(1,))
+
+
 def apply_sample_counts_stream(
     index, batches, cfg: Config, batch: int = 1 << 20,
     dev: "DeviceIndex | None" = None,
@@ -752,7 +798,10 @@ def apply_sample_counts_stream(
     k-mer dumps) are collected and replayed through the exact host path
     after the device write-back (counter updates are commutative, so the
     ordering is unobservable).  The step's lane count is fixed by the
-    first full buffer (one compile); the tail is zero-padded.
+    first full buffer (one compile); SCAN_S sub-batches chain inside one
+    dispatch (lax.scan) — measured ~4-5 ms/2M cheaper than separate
+    dispatches on v5e — with partial stacks zero-padded (zero-counter
+    lanes are exact no-ops).
     """
     import jax
     import jax.numpy as jnp
@@ -778,7 +827,9 @@ def apply_sample_counts_stream(
     buf_n = 0
     step = None
     eff = None
-    inflight = None  # (device_chunk, device_counters) uploaded ahead
+    pend_k: list[np.ndarray] = []  # host sub-batches awaiting one dispatch
+    pend_c: list[np.ndarray] = []
+    inflight = None  # (device_ctx_stack, device_cnt_stack) uploaded ahead
 
     def to_packed(contexts, counters):
         nonlocal host_rows
@@ -793,26 +844,39 @@ def apply_sample_counts_stream(
         # canonicalizes per probe, the packed step expects canonical input
         return pack2bit_u32_np(seq.canonical(contexts), cfg.ref_k), counters
 
-    def run(chunk, cnts):
-        nonlocal state, step, eff, inflight
-        if step is None:
-            eff = (min(max(chunk.shape[0], 1), batch) + 127) & ~127
-            step = make_call_step_packed(
-                cfg.k, cfg.ref_k, dev.size_bits, dev.n_buckets, eff,
-                minifilter=dev.minifilter,
-            )
-        if chunk.shape[0] < eff:
-            pad = eff - chunk.shape[0]
-            chunk = np.concatenate([chunk, np.zeros((pad, wc), np.uint32)])
-            cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
-        # async H2D upload of the next chunk overlaps the current compute
-        up = (jax.device_put(chunk), jax.device_put(cnts))
+    def dispatch_pending():
+        """Upload the pending stack and run the previously uploaded one
+        (double buffering at scan granularity)."""
+        nonlocal state, inflight, pend_k, pend_c
+        while len(pend_k) < SCAN_S:  # zero-counter pad: exact no-op
+            pend_k.append(np.zeros((eff, wc), np.uint32))
+            pend_c.append(np.zeros(eff, np.uint32))
+        up = (jax.device_put(np.stack(pend_k)), jax.device_put(np.stack(pend_c)))
+        pend_k, pend_c = [], []
         if inflight is not None:
             state = step(dev.bf_packed, state, dev.ctx_words, dev.kmap_keys, *inflight)
         inflight = up
 
+    def run(chunk, cnts):
+        nonlocal step, eff
+        if step is None:
+            eff = (min(max(chunk.shape[0], 1), batch) + 127) & ~127
+            inner = make_call_step_packed(
+                cfg.k, cfg.ref_k, dev.size_bits, dev.n_buckets, eff,
+                minifilter=dev.minifilter, donate=False,
+            )
+            step = make_call_step_scan(inner.__wrapped__)
+        if chunk.shape[0] < eff:
+            pad = eff - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.zeros((pad, wc), np.uint32)])
+            cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
+        pend_k.append(chunk)
+        pend_c.append(cnts)
+        if len(pend_k) == SCAN_S:
+            dispatch_pending()
+
     def drain_buffer(final: bool):
-        nonlocal buf_k, buf_c, buf_n, state, inflight
+        nonlocal buf_k, buf_c, buf_n
         if buf_n == 0 and not final:
             return
         packed = (np.concatenate(buf_k) if len(buf_k) != 1 else buf_k[0]
@@ -843,6 +907,8 @@ def apply_sample_counts_stream(
         if buf_n >= batch:
             drain_buffer(final=False)
     drain_buffer(final=True)
+    if pend_k:
+        dispatch_pending()
     if inflight is not None:
         state = step(dev.bf_packed, state, dev.ctx_words, dev.kmap_keys, *inflight)
 

@@ -111,6 +111,71 @@ class KMAP:
             if v is not None:
                 d[key] = (v + int(c)) & 0xFFFFFFFF
 
+    def _packed_index(self, k: int):
+        """Sorted packed view of the pure-ACGT length-k keys PLUS the key
+        objects in that order — the packed-probe increment path resolves
+        hits by native binary search and folds into the dict by position.
+        Row order is lexicographic on the uint64 words, which equals ASCII
+        k-mer order under pack_2bit's layout.  Guarded by key count like
+        :meth:`_fast_index`."""
+        from ..utils import native
+
+        if self._fast.get("_n") != len(self._kmers):
+            self._fast.clear()
+            self._fast["_n"] = len(self._kmers)
+        e = self._fast.get(("pk", k))
+        if e is None:
+            keys = [kb for kb in self.kmers if len(kb) == k]
+            if keys:
+                arr = np.frombuffer(b"".join(keys), np.uint8).reshape(-1, k)
+                ok = is_acgt(arr)
+                idx_ok = np.nonzero(ok)[0]
+                packed = np.ascontiguousarray(pack_2bit(arr[ok]))
+            if keys and packed.shape[0]:
+                perm = native.argsort_u64rows(packed)
+                if perm is None:
+                    return None
+                rows = np.ascontiguousarray(packed[perm])
+                korder = [keys[i] for i in idx_ok[perm].tolist()]
+            else:
+                rows = np.zeros((0, (k + 31) // 32), dtype=np.uint64)
+                korder = []
+            e = self._fast[("pk", k)] = (rows, korder)
+        return e
+
+    def increment_packed(self, probes: np.ndarray, counters: np.ndarray,
+                         k: int) -> bool:
+        """increment_keys over 2-bit packed canonical pure-ACGT probes
+        ((N, ceil(k/32)) uint64) — no ASCII matrices, native search.
+        Returns False when the native library is unavailable (caller runs
+        the ASCII path).  Exact: a pure-ACGT probe can only ever match a
+        pure-ACGT length-k key (NUL-truncated keys are shorter, IUPAC keys
+        differ in a byte), and the per-key fold wraps mod 2^32 exactly
+        like the per-store wrap (addition is associative mod 2^32)."""
+        from ..utils import native
+
+        pk = self._packed_index(k)
+        if pk is None:
+            return False
+        rows, korder = pk
+        if not korder or probes.shape[0] == 0:
+            return True
+        pos = native.search_u64rows(rows, probes)
+        if pos is None:
+            return False
+        hit = pos >= 0
+        if not hit.any():
+            return True
+        agg = np.zeros(len(korder), dtype=np.uint32)
+        vals = np.asarray(counters, dtype=np.uint32)[hit]
+        if not native.scatter_add_u32(agg, pos[hit], vals):
+            np.add.at(agg, pos[hit], vals)
+        d = self._kmers
+        for i in np.nonzero(agg)[0].tolist():
+            key = korder[i]
+            d[key] = (d[key] + int(agg[i])) & 0xFFFFFFFF
+        return True
+
     # -- batch counter planes ----------------------------------------------
     # A "plane" is one sample's counter VALUES as a uint32 array in key
     # insertion order — 4 B/key instead of a full per-sample dict copy

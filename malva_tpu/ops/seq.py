@@ -142,6 +142,12 @@ def unpack_2bit(packed: np.ndarray, k: int) -> np.ndarray:
     """Inverse of :func:`pack_2bit` back to (N, K) ASCII uint8."""
     packed = np.asarray(packed, dtype=np.uint64)
     n = packed.shape[0]
+    if packed.size:
+        from ..utils import native
+
+        out = native.unpack2bit(packed, k)
+        if out is not None:
+            return out
     out = np.empty((n, k), dtype=np.uint8)
     for j in range(k):
         w = j // 32

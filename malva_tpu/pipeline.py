@@ -278,13 +278,43 @@ def apply_sample_counts(
 ) -> None:
     """KMC-scan equivalent (main.cpp:487-500): for each distinct canonical
     context, add its count to the exact map always and to the alt Bloom
-    filter only when the context is not a known reference context."""
+    filter only when the context is not a known reference context.
+
+    ``contexts`` may be 2-bit packed uint64 rows (the counter's output
+    contract: canonical, pure-ACGT) — those take the fused native path
+    (no ASCII matrices ever materialize); ASCII rows (external dumps, may
+    be non-canonical / non-ACGT) take the general path."""
+    if contexts.dtype == np.uint64 and _apply_packed_host(
+        index, contexts, counts, cfg
+    ):
+        return
+    contexts = _as_ascii(contexts, cfg.ref_k)
     off = cfg.center_off
     centers = np.ascontiguousarray(contexts[:, off : off + cfg.k])
     index.ref_bf.increment_keys(centers, counts)
     ctx_known = index.context_bf.test_keys(contexts)
     sel = ~ctx_known
     index.bf.increment_keys(centers[sel], counts[sel])
+
+
+def _apply_packed_host(
+    index: Index, packed: np.ndarray, counts: np.ndarray, cfg: Config
+) -> bool:
+    """Packed fast path of :func:`apply_sample_counts`: one fused native
+    pass computes (context hash, canonical-center hash, packed canonical
+    center) per row; the Bloom updates run on hashes and the exact-map
+    increments on packed binary search.  Returns False when the native
+    library is unavailable (caller falls back to the ASCII path)."""
+    res = native.apply_ctx_packed(packed, cfg.ref_k, cfg.k)
+    if res is None:
+        return False
+    ctx_h, cen_h, cen_pk = res
+    if not index.ref_bf.increment_packed(cen_pk, counts, cfg.k):
+        return False
+    ctx_known = index.context_bf.test_hashed(ctx_h)
+    sel = ~ctx_known
+    index.bf.increment_hashed(cen_h[sel], np.asarray(counts)[sel])
+    return True
 
 
 def _flatten_group(group: list[tuple[list, dict]]):
@@ -455,7 +485,7 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
             apply_sample_counts_stream(index, batches, cfg)
         else:
             for keys, cnts in batches:
-                apply_sample_counts(index, _as_ascii(keys, cfg.ref_k), cnts, cfg)
+                apply_sample_counts(index, keys, cnts, cfg)
         timer.pelapsed("Sample k-mer counting + BF weights (spill)")
     elif cfg.from_kmc_dump or cfg.from_kmc_db:
         _apply_kmc_stream(cfg, index, cfg.sample_path)
@@ -468,7 +498,7 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
 
             apply_sample_counts_device(index, contexts, counts, cfg)
         else:
-            apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
+            apply_sample_counts(index, contexts, counts, cfg)
         timer.pelapsed("BF weights created")
 
     _genotype_and_emit(cfg, index, refs, out, timer)
@@ -667,7 +697,7 @@ def call_batch(
                     dev = DeviceIndex.from_host(index, cfg)
                 apply_sample_counts_device(index, contexts, counts, cfg, dev=dev)
             else:
-                apply_sample_counts(index, _as_ascii(contexts, cfg.ref_k), counts, cfg)
+                apply_sample_counts(index, contexts, counts, cfg)
         planes.append((
             index.bf.counts.astype(np.uint16),  # truncation == mod 2^16
             index.ref_bf.snapshot_values(),

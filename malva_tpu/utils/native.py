@@ -96,6 +96,24 @@ def load() -> "ctypes.CDLL | None":
             fn = getattr(lib, name)
             fn.restype = None
             fn.argtypes = args
+        for name, args in [
+            ("malva_unpack2bit", [u64p, ctypes.c_int64, ctypes.c_int64, u8p]),
+            ("malva_apply_ctx_packed", [
+                u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                u64p, u64p, u64p,
+            ]),
+            ("malva_argsort_u64rows", [
+                u64p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]),
+            ("malva_search_u64rows", [
+                u64p, ctypes.c_int64, u64p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = args
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         for name in ("malva_scatter_add_u32", "malva_scatter_or_u32"):
@@ -209,6 +227,69 @@ def read_kmers(seqs: "list[bytes]", k: int) -> "np.ndarray | None":
                          out_offs.ctypes.data_as(_I64P), n, k,
                          out.ctypes.data_as(_U64P))
     return out
+
+
+def unpack2bit(packed: np.ndarray, k: int) -> "np.ndarray | None":
+    """Inverse of pack2bit back to (N, K) ASCII; None -> numpy path."""
+    lib = load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    n = packed.shape[0]
+    out = np.empty((n, k), dtype=np.uint8)
+    lib.malva_unpack2bit(packed.ctypes.data_as(_U64P), n, k,
+                         out.ctypes.data_as(_U8P))
+    return out
+
+
+def apply_ctx_packed(packed: np.ndarray, ref_k: int, k: int):
+    """Fused host apply-path front end over packed canonical contexts:
+    (ctx_hash, center_hash, center_packed) per row, or None."""
+    lib = load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    n = packed.shape[0]
+    ctx_h = np.empty(n, dtype=np.uint64)
+    cen_h = np.empty(n, dtype=np.uint64)
+    cen_pk = np.empty((n, (k + 31) // 32), dtype=np.uint64)
+    lib.malva_apply_ctx_packed(
+        packed.ctypes.data_as(_U64P), n, ref_k, k,
+        ctx_h.ctypes.data_as(_U64P), cen_h.ctypes.data_as(_U64P),
+        cen_pk.ctypes.data_as(_U64P),
+    )
+    return ctx_h, cen_h, cen_pk
+
+
+def argsort_u64rows(a: np.ndarray) -> "np.ndarray | None":
+    """Argsort of (N, W) uint64 rows in lexicographic row order (== ASCII
+    k-mer order under pack_2bit's layout); None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    n, w = a.shape
+    perm = np.empty(n, dtype=np.int64)
+    lib.malva_argsort_u64rows(a.ctypes.data_as(_U64P), n, w,
+                              perm.ctypes.data_as(_I64P))
+    return perm
+
+
+def search_u64rows(sorted_rows: np.ndarray, probes: np.ndarray) -> "np.ndarray | None":
+    """Exact-match position of each probe row in sorted_rows (-1 when
+    absent); None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    sorted_rows = np.ascontiguousarray(sorted_rows, dtype=np.uint64)
+    probes = np.ascontiguousarray(probes, dtype=np.uint64)
+    m, w = sorted_rows.shape
+    n = probes.shape[0]
+    pos = np.empty(n, dtype=np.int64)
+    lib.malva_search_u64rows(sorted_rows.ctypes.data_as(_U64P), m,
+                             probes.ctypes.data_as(_U64P), n, w,
+                             pos.ctypes.data_as(_I64P))
+    return pos
 
 
 def sort_count(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray] | None":
@@ -412,30 +493,45 @@ def genotype_block_native(variants, max_cov: int, haploid: bool, error_rate,
 
 
 class CombsNative:
-    """Reusable buffers + call wrapper for malva_combs."""
+    """Reusable buffers + call wrapper for malva_combs.  One instance is
+    shared across blocks (blocks.VB._native_engine); ``set_block`` caches
+    the per-block array pointers so the per-variant call does no ctypes
+    casts (data_as was ~1.5 s of pure overhead on a 70k-block VCF)."""
 
     def __init__(self, lib):
         self.lib = lib
         self.cap_idx = 1 << 16
         self.cap_combs = 1 << 12
         self._alloc()
+        self._blk = None
 
     def _alloc(self):
+        i64p = ctypes.POINTER(ctypes.c_int64)
         self.out_idx = np.zeros(self.cap_idx, dtype=np.int32)
         self.out_off = np.zeros(self.cap_combs + 1, dtype=np.int64)
+        self._out_idx_p = self.out_idx.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+        self._out_off_p = self.out_off.ctypes.data_as(i64p)
 
-    def combs(self, pos, size, min_size, present, center: int, k: int):
-        """Returns list[list[int]] of combinations, or None on overflow
-        (caller should fall back to the Python path)."""
+    def set_block(self, pos, size, min_size, present):
+        """Pin one block's variant arrays (kept alive here) and cache
+        their pointers for the per-variant combs() calls."""
         i64p = ctypes.POINTER(ctypes.c_int64)
+        self._blk = (pos, size, min_size, present)  # keep buffers alive
+        self._pos_p = pos.ctypes.data_as(i64p)
+        self._size_p = size.ctypes.data_as(i64p)
+        self._min_p = min_size.ctypes.data_as(i64p)
+        self._pres_p = present.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        self._n = len(pos)
+
+    def combs(self, center: int, k: int):
+        """Returns list[list[int]] of combinations for the set_block
+        arrays, or None on overflow (caller falls back to Python)."""
         while True:
             n = self.lib.malva_combs(
-                pos.ctypes.data_as(i64p), size.ctypes.data_as(i64p),
-                min_size.ctypes.data_as(i64p),
-                present.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                len(pos), center, k,
-                self.out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                self.out_off.ctypes.data_as(i64p),
+                self._pos_p, self._size_p, self._min_p, self._pres_p,
+                self._n, center, k,
+                self._out_idx_p, self._out_off_p,
                 self.cap_idx, self.cap_combs,
             )
             if n >= 0:

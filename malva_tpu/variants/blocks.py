@@ -318,6 +318,18 @@ class VB:
         aacs: set[tuple[bytes, ...]] = set()
         al = self._allele
         comb_pos = [local_pos[j] for j in comb]
+        if len(comb) == 1:
+            # single-variant combination (the overwhelmingly common case
+            # on sparse chr-scale VCFs): the 2^1 unphased selections of
+            # (a1, a2) equal the phased haplotype split, so the unique
+            # allele indices over BOTH gt columns are the whole answer
+            p = comb_pos[0]
+            j = comb[0]
+            if haploid:
+                vals = np.unique(wmat[:, p])
+            else:
+                vals = np.unique(wmat[:, (3 * p, 3 * p + 1)])
+            return {(al(j, int(a)),) for a in vals.tolist()}
         idx_set: set[tuple[int, ...]]
         if haploid:
             sub = _dedup_rows_fast(np.ascontiguousarray(wmat[:, comb_pos]))
@@ -350,11 +362,20 @@ class VB:
             aacs.add(tuple(al(j, a) for j, a in zip(comb, t)))
         return aacs
 
-    def _native_engine(self):
-        from ..utils.native import CombsNative, load
+    _engine_cache: "object | None" = None
+    _engine_tried = False
 
-        lib = load()
-        return CombsNative(lib) if lib is not None else None
+    def _native_engine(self):
+        # one engine per process: its scratch buffers (256 KB+) grow to the
+        # worst block seen and are reused — a fresh instance per block was
+        # ~2 s of allocations on a 70k-block chr-scale VCF
+        if not VB._engine_tried:
+            VB._engine_tried = True
+            from ..utils.native import CombsNative, load
+
+            lib = load()
+            VB._engine_cache = CombsNative(lib) if lib is not None else None
+        return VB._engine_cache
 
     # -- signature extraction (var_block.hpp:95-219) -----------------------
     def extract_kmers(self, reference: bytes, haploid: bool) -> dict:
@@ -363,10 +384,12 @@ class VB:
         self._atab: dict[int, list[bytes]] = {}
         native = self._native_engine()
         if native is not None:
-            n_pos = np.array([v.ref_pos for v in self.variants], np.int64)
-            n_size = np.array([v.ref_size for v in self.variants], np.int64)
-            n_min = np.array([v.min_size for v in self.variants], np.int64)
-            n_pres = np.array([v.is_present for v in self.variants], np.uint8)
+            native.set_block(
+                np.array([v.ref_pos for v in self.variants], np.int64),
+                np.array([v.ref_size for v in self.variants], np.int64),
+                np.array([v.min_size for v in self.variants], np.int64),
+                np.array([v.is_present for v in self.variants], np.uint8),
+            )
         kmers: dict[int, dict[int, list[list[bytes]]]] = {}
         n = len(self.variants)
         # Window dedup is two-level: once per CHUNK of consecutive variants
@@ -388,7 +411,7 @@ class VB:
                     continue
                 combs = None
                 if native is not None:
-                    combs = native.combs(n_pos, n_size, n_min, n_pres, v_index, k)
+                    combs = native.combs(v_index, k)
                 if combs is None:
                     right_combs = self._grow_combs(v_index, +1)
                     left_combs = self._grow_combs(v_index, -1)

@@ -837,3 +837,105 @@ void malva_scatter_or_u32(uint32_t* buf, const int64_t* idx,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Packed-context apply kernels (the host call-phase fast path,
+// pipeline.apply_sample_counts over the counter's 2-bit packed output —
+// the per-k-mer work of reference main.cpp:487-500 without ever
+// materializing the ASCII matrices).
+
+namespace {
+
+inline void unpack_row(const uint64_t* row, int64_t k, uint8_t* out) {
+  static const char kAlpha[4] = {'A', 'C', 'G', 'T'};
+  for (int64_t j = 0; j < k; ++j)
+    out[j] = kAlpha[(row[j >> 5] >> (2 * (31 - (j & 31)))) & 3];
+}
+
+inline void pack_row(const uint8_t* in, int64_t k, uint64_t* out) {
+  const int64_t nwords = (k + 31) / 32;
+  for (int64_t w = 0; w < nwords; ++w) {
+    uint64_t acc = 0;
+    const int64_t j1 = (w + 1) * 32 < k ? (w + 1) * 32 : k;
+    for (int64_t j = w * 32; j < j1; ++j) {
+      uint64_t c = in[j] == 'A' ? 0 : in[j] == 'C' ? 1 : in[j] == 'G' ? 2 : 3;
+      acc |= c << (2 * (31 - (j & 31)));
+    }
+    out[w] = acc;
+  }
+}
+
+// lexicographic row compare over w uint64 words (== ASCII k-mer order,
+// see ops/seq.pack_2bit's layout contract)
+inline int cmp_rows(const uint64_t* a, const uint64_t* b, int64_t w) {
+  for (int64_t j = 0; j < w; ++j) {
+    if (a[j] < b[j]) return -1;
+    if (a[j] > b[j]) return 1;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Inverse of malva_pack2bit back to ASCII.
+void malva_unpack2bit(const uint64_t* in, int64_t n, int64_t k, uint8_t* out) {
+  const int64_t nwords = (k + 31) / 32;
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) unpack_row(in + i * nwords, k, out + i * k);
+}
+
+// Fused per-context work of the host apply path: for each packed
+// canonical ref_k-mer row, emit (a) XXH3 of its ASCII form (the context
+// Bloom probe), (b) XXH3 of the canonical centered k-mer (the alt-BF
+// probe), (c) the canonical centered k-mer 2-bit packed (the exact-map
+// probe).  Everything per row stays in registers/stack.
+void malva_apply_ctx_packed(const uint64_t* ctx, int64_t n, int64_t ref_k,
+                            int64_t k, uint64_t* ctx_hash,
+                            uint64_t* center_hash, uint64_t* center_packed) {
+  const int64_t wctx = (ref_k + 31) / 32;
+  const int64_t wc = (k + 31) / 32;
+  const int64_t off = (ref_k - k) / 2;
+#pragma omp parallel if (n > 4096)
+  {
+    std::vector<uint8_t> buf(ref_k), cbuf(k);
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      unpack_row(ctx + i * wctx, ref_k, buf.data());
+      ctx_hash[i] = xxh3_one(buf.data(), ref_k);
+      canonical_row(buf.data() + off, k, cbuf.data());
+      center_hash[i] = xxh3_one(cbuf.data(), k);
+      pack_row(cbuf.data(), k, center_packed + i * wc);
+    }
+  }
+}
+
+// Argsort of (n, w) uint64 rows in lexicographic row order.
+void malva_argsort_u64rows(const uint64_t* a, int64_t n, int64_t w,
+                           int64_t* perm) {
+  for (int64_t i = 0; i < n; ++i) perm[i] = i;
+  std::sort(perm, perm + n, [&](int64_t x, int64_t y) {
+    return cmp_rows(a + x * w, a + y * w, w) < 0;
+  });
+}
+
+// Exact-match binary search of each probe row in a sorted row array:
+// pos[i] = index of the match, or -1.
+void malva_search_u64rows(const uint64_t* sorted, int64_t m,
+                          const uint64_t* probes, int64_t n, int64_t w,
+                          int64_t* pos) {
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t* p = probes + i * w;
+    int64_t lo = 0, hi = m;
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (cmp_rows(sorted + mid * w, p, w) < 0) lo = mid + 1;
+      else hi = mid;
+    }
+    pos[i] = (lo < m && cmp_rows(sorted + lo * w, p, w) == 0) ? lo : -1;
+  }
+}
+
+}  // extern "C"

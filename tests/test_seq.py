@@ -135,5 +135,6 @@ def test_native_combs_parity():
             want = vb._combine_combs(
                 vb._grow_combs(center, -1), vb._grow_combs(center, +1), center
             )
-            got = nat.combs(pos, size, minsz, present.astype(np.uint8), center, 13)
+            nat.set_block(pos, size, minsz, present.astype(np.uint8))
+            got = nat.combs(center, 13)
             assert got == want, (trial, center, got, want)
