@@ -91,9 +91,26 @@ def _dedup_rows_fast(mat: np.ndarray) -> np.ndarray:
     per uint64 word and deduplicate by sort.  The many-key lexsort loses
     to the linear bytes-hash loop once rows are wide AND the matrix is
     big (measured crossover ~32 B/row at ~30k cohort rows), so that
-    regime — and non-uint8 input — falls back to :func:`_dedup_rows`."""
+    regime — and non-uint8 input — falls back to :func:`_dedup_rows`.
+    Tiny matrices (the common case: per-variant window projections on
+    sparse VCFs) skip numpy entirely — a bytes-set loop over <=24 rows
+    is ~10x cheaper than the pad+view+lexsort pipeline."""
     u, L = mat.shape
-    if u <= 1 or mat.dtype != np.uint8 or (L > 32 and u > 4096):
+    if u <= 1:
+        return mat
+    if u <= 24:
+        mat = np.ascontiguousarray(mat)
+        Lb = L * mat.itemsize
+        data = mat.tobytes()
+        seen = set()
+        keep = []
+        for i in range(u):
+            b = data[i * Lb : (i + 1) * Lb]
+            if b not in seen:
+                seen.add(b)
+                keep.append(i)
+        return mat if len(keep) == u else mat[keep]
+    if mat.dtype != np.uint8 or (L > 32 and u > 4096):
         return _dedup_rows(mat)
     w = (L + 7) // 8
     pad = np.zeros((u, w * 8), np.uint8)
@@ -326,10 +343,11 @@ class VB:
             p = comb_pos[0]
             j = comb[0]
             if haploid:
-                vals = np.unique(wmat[:, p])
+                vals = set(wmat[:, p].tolist())
             else:
-                vals = np.unique(wmat[:, (3 * p, 3 * p + 1)])
-            return {(al(j, int(a)),) for a in vals.tolist()}
+                vals = set(wmat[:, 3 * p].tolist())
+                vals.update(wmat[:, 3 * p + 1].tolist())
+            return {(al(j, int(a)),) for a in vals}
         idx_set: set[tuple[int, ...]]
         if haploid:
             sub = _dedup_rows_fast(np.ascontiguousarray(wmat[:, comb_pos]))
@@ -378,8 +396,33 @@ class VB:
         return VB._engine_cache
 
     # -- signature extraction (var_block.hpp:95-219) -----------------------
+    def _extract_single(self, reference: bytes, haploid: bool) -> dict:
+        """Single-variant block fast path — the dominant block shape on
+        sparse chr-scale VCFs (~70% of blocks).  The general machinery
+        (profile matrix, window projections, combination growth) all
+        collapses: combs == [[0]], and the sample-consistent allele set
+        is exactly the unique GT allele indices (both columns diploid —
+        the 2^1 unphased split equals the phased split for one site).
+        Byte-identical to the general path by construction."""
+        k = self.k
+        v = self.variants[0]
+        kmers: dict[int, dict[int, list[list[bytes]]]] = {0: {}}
+        if not v.is_present or v.ref_pos < k or v.ref_pos > len(reference) - k:
+            return kmers
+        self._atab = {}
+        vals = set(v.gt_a1.tolist())
+        if not haploid:
+            vals.update(v.gt_a2.tolist())
+        aacs = {(self._allele(0, int(a)),) for a in vals}
+        _kmers: dict[int, list[list[bytes]]] = {}
+        self._render_comb(0, [0], [], aacs, reference, _kmers)
+        kmers[0] = _kmers
+        return kmers
+
     def extract_kmers(self, reference: bytes, haploid: bool) -> dict:
         k = self.k
+        if len(self.variants) == 1:
+            return self._extract_single(reference, haploid)
         self._unique_profiles(haploid)
         self._atab: dict[int, list[bytes]] = {}
         native = self._native_engine()
@@ -440,8 +483,16 @@ class VB:
         for comb in combs:
             ref_subs = self._get_ref_subs(comb, reference)
             aacs = self._build_alleles_combs(comb, wmat, local_pos, haploid)
+            self._render_comb(v_index, comb, ref_subs, aacs, reference, _kmers)
+        kmers[v_index] = _kmers
 
-            for aac in aacs:
+    def _render_comb(self, v_index, comb, ref_subs, aacs, reference,
+                     _kmers) -> None:
+        """Render each allele combination of ``comb`` into its signature
+        k-mer strings (the string-assembly half of var_block.hpp:95-219)."""
+        k = self.k
+        v = self.variants[v_index]
+        for aac in aacs:
                 ksss: list[bytes] = []
                 if len(aac) == 1 and len(aac[0]) >= k:
                     mid_allele = aac[0]
@@ -483,4 +534,3 @@ class VB:
 
                 allele_index = v.get_allele_index(mid_allele)
                 _kmers.setdefault(allele_index, []).append(ksss)
-        kmers[v_index] = _kmers

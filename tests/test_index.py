@@ -183,3 +183,46 @@ def test_kmap_fast_membership_path():
         [km2.get_counts(probes[j : j + 1]) for j in range(probes.shape[0])]
     )
     np.testing.assert_array_equal(got, exp)
+
+
+def test_index_save_load_roundtrip(tmp_path):
+    """save_index stores the GiB-scale Bloom word arrays sparse + raw (zlib
+    on dense zero-runs dominated load: 23 s -> ~1 s at chr scale); the
+    loader must also accept the older dense-words files."""
+    from malva_tpu.pipeline import Index, load_index, save_index
+
+    bf = BF(1 << 16)
+    ctx = BF(1 << 16)
+    km = KMAP()
+    keys = _kmers(300, 35, seed=4, alpha=b"ACGT")
+    bf.add_keys(keys)
+    ctx.add_keys(_kmers(200, 43, seed=5, alpha=b"ACGT"))
+    bf.switch_mode()
+    ctx.switch_mode()
+    bf.increment_keys(keys[:100], np.arange(1, 101, dtype=np.uint32))
+    km.add_keys(keys)
+    km.add_keys(np.frombuffer(b"ACG", dtype=np.uint8)[None, :])  # short key
+    km.increment_keys(keys[:50], np.full(50, 7, dtype=np.uint32))
+    index = Index(bf=bf, ref_bf=km, context_bf=ctx)
+
+    p = str(tmp_path / "idx.npz")
+    save_index(index, p)
+    got = load_index(p)
+    np.testing.assert_array_equal(got.bf.words, bf.words)
+    np.testing.assert_array_equal(got.bf.counts, bf.counts)
+    np.testing.assert_array_equal(got.context_bf.words, ctx.words)
+    assert got.ref_bf.kmers == km.kmers
+
+    # pre-sparse format (dense words, compressed) still loads
+    st = {}
+    for name, obj in [("bf", bf), ("ctx", ctx)]:
+        for k, v in obj.state().items():
+            st[f"{name}_{k}"] = v
+    for k, v in km.state().items():
+        st[f"kmap_{k}"] = v
+    p2 = str(tmp_path / "idx_old.npz")
+    np.savez_compressed(p2, **st)
+    got2 = load_index(p2)
+    np.testing.assert_array_equal(got2.bf.words, bf.words)
+    np.testing.assert_array_equal(got2.bf.counts, bf.counts)
+    assert got2.ref_bf.kmers == km.kmers
