@@ -253,11 +253,14 @@ class KMAP:
         data = arr.tobytes()
         kmers = km.kmers
         vl = vals.tolist()
-        if not (arr == 0).any():
+        # per-row min == 0 detects NUL padding with one (n,) temp instead
+        # of two n*L boolean temps (~270 MB each at 7.8M x 35)
+        row_has_nul = arr.min(axis=1) == 0
+        if not row_has_nul.any():
             for i, v in enumerate(vl):
                 kmers[data[i * L : (i + 1) * L]] = v
         else:
-            short = (arr == 0).any(axis=1).tolist()
+            short = row_has_nul.tolist()
             for i, v in enumerate(vl):
                 b = data[i * L : (i + 1) * L]
                 kmers[b.rstrip(b"\x00") if short[i] else b] = v

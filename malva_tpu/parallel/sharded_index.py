@@ -625,6 +625,78 @@ def build_context_sharded(index, refs_used, cfg: Config, mesh,
     index.context_bf.words = np.asarray(ctx_shards).reshape(-1)
 
 
+class ShardedCallSession:
+    """Sharded call-phase state reused across many batches: the index is
+    sharded ONCE, incoming (contexts, counters) batches accumulate into a
+    fixed-shape buffer (the routed jit has a static per-chip slice), and
+    ``finish`` flushes the padded remainder and writes counters back to
+    the host index.  This is what the product ``call()`` routes through
+    on a multi-device mesh (pipeline.call -> _apply_counts_maybe_sharded);
+    per-k-mer semantics match main.cpp:487-500 exactly."""
+
+    def __init__(self, index, cfg: Config, mesh, batch: int = 1 << 20,
+                 routed: bool = True):
+        self.index = index
+        self.cfg = cfg
+        self.mesh = mesh
+        self.routed = routed
+        S = self.S = mesh.devices.size
+        batch = max(batch - batch % S, S)
+        if routed:
+            self.state = shard_index_routed(index, cfg, S)
+            slice_b = batch // S
+            self.step = make_routed_call_step(
+                mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, self.state.nbs, slice_b
+            )
+            self.batch = slice_b * S
+        else:
+            self.state = shard_index(index, cfg, S)
+            self.step = make_sharded_call_step(
+                mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, self.state.n_buckets
+            )
+            self.batch = batch
+        self.bf_counts = self.state.bf_counts
+        self.kmap_vals = self.state.kmap_vals
+        self._buf_ctx = np.full((self.batch, cfg.ref_k), ord("A"), np.uint8)
+        self._buf_cnt = np.zeros(self.batch, dtype=np.uint32)
+        self._fill = 0
+
+    def _run(self, chunk, cnts):
+        self.bf_counts, self.kmap_vals = self.step(
+            self.state.bf_packed, self.bf_counts, self.state.ctx_words,
+            self.state.kmap_keys, self.kmap_vals, chunk, cnts,
+        )
+
+    def apply(self, contexts: np.ndarray, counters: np.ndarray) -> None:
+        """Queue ASCII (n, ref_k) contexts + counters; steps fire whenever
+        the fixed-size buffer fills."""
+        n = contexts.shape[0]
+        at = 0
+        while at < n:
+            take = min(n - at, self.batch - self._fill)
+            self._buf_ctx[self._fill : self._fill + take] = contexts[at : at + take]
+            self._buf_cnt[self._fill : self._fill + take] = counters[at : at + take]
+            self._fill += take
+            at += take
+            if self._fill == self.batch:
+                self._run(self._buf_ctx, self._buf_cnt)
+                self._fill = 0
+
+    def finish(self) -> None:
+        """Flush the padded remainder ('A'-rows with counter 0 are masked
+        by valid=counters>0) and write counters back to the host index."""
+        if self._fill:
+            self._buf_ctx[self._fill :] = ord("A")
+            self._buf_cnt[self._fill :] = 0
+            self._run(self._buf_ctx, self._buf_cnt)
+            self._fill = 0
+        self.state.bf_counts, self.state.kmap_vals = self.bf_counts, self.kmap_vals
+        if self.routed:
+            write_back_routed(self.state, self.index)
+        else:
+            write_back(self.state, self.index)
+
+
 def apply_sample_counts_sharded(
     index, contexts: np.ndarray, counters: np.ndarray, cfg: Config, mesh,
     batch: int = 1 << 20, routed: bool = True,
@@ -632,36 +704,29 @@ def apply_sample_counts_sharded(
     """Multi-device equivalent of pipeline.apply_sample_counts."""
     S = mesh.devices.size
     n = contexts.shape[0]
-    batch = max(batch - batch % S, S)
-    if routed:
-        state = shard_index_routed(index, cfg, S)
-        slice_b = min(batch, max(S, n + (-n) % S)) // S
-        step = make_routed_call_step(
-            mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, state.nbs, slice_b
-        )
-        batch = slice_b * S
-    else:
-        state = shard_index(index, cfg, S)
-        step = make_sharded_call_step(mesh, cfg.k, cfg.ref_k, cfg.bf_size, S, state.n_buckets)
-    bf_counts, kmap_vals = state.bf_counts, state.kmap_vals
-    for start in range(0, max(n, 1), batch):
-        chunk = contexts[start : start + batch]
-        cnts = counters[start : start + batch].astype(np.uint32)
-        if chunk.shape[0] == 0:
-            break
-        if chunk.shape[0] % S or (chunk.shape[0] < batch and n > batch):
-            pad = (S - chunk.shape[0] % S) % S if chunk.shape[0] % S else batch - chunk.shape[0]
-            chunk = np.concatenate([chunk, np.full((pad, cfg.ref_k), ord("A"), np.uint8)])
-            cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
-        if routed and chunk.shape[0] != batch:
-            pad = batch - chunk.shape[0]
-            chunk = np.concatenate([chunk, np.full((pad, cfg.ref_k), ord("A"), np.uint8)])
-            cnts = np.concatenate([cnts, np.zeros(pad, np.uint32)])
-        bf_counts, kmap_vals = step(
-            state.bf_packed, bf_counts, state.ctx_words, state.kmap_keys, kmap_vals, chunk, cnts
-        )
-    state.bf_counts, state.kmap_vals = bf_counts, kmap_vals
-    if routed:
-        write_back_routed(state, index)
-    else:
-        write_back(state, index)
+    if routed:  # size the fixed slice to the problem when it is small
+        batch = min(max(batch - batch % S, S), max(S, n + (-n) % S))
+    sess = ShardedCallSession(index, cfg, mesh, batch=batch, routed=routed)
+    sess.apply(contexts, counters.astype(np.uint32))
+    sess.finish()
+
+
+def apply_sample_counts_sharded_stream(index, batches, cfg: Config, mesh,
+                                       batch: int | None = None) -> None:
+    """Streaming multi-device call step: consumes (keys, counts) batches
+    (2-bit-packed uint64 rows from the built-in counter, or ASCII rows
+    from external KMC artifacts) without materializing the distinct set.
+    The product pipeline routes here when >1 device is attached
+    (pipeline._apply_counts_maybe_sharded)."""
+    import os
+
+    from ..ops.seq import unpack_2bit
+
+    if batch is None:
+        batch = int(os.environ.get("MALVA_SHARD_BATCH", 1 << 20))
+    sess = ShardedCallSession(index, cfg, mesh, batch=batch, routed=True)
+    for keys, cnts in batches:
+        if keys.dtype == np.uint64:
+            keys = unpack_2bit(keys, cfg.ref_k)
+        sess.apply(keys, np.asarray(cnts).astype(np.uint32))
+    sess.finish()

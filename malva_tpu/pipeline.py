@@ -67,27 +67,228 @@ def _resolve_backend(cfg: Config, work: int | None = None, floor: int = 0) -> st
         return "host"
 
 
-class _KmerBatcher:
-    """Accumulates variable-length k-mer byte strings, flushes grouped by
-    length into batched BF/KMAP operations."""
+# Extraction batch size (variants per native extract_group call): blocks
+# accumulate until this many variants, then one native call extracts the
+# whole batch (OpenMP across blocks) and the flat result feeds both
+# passes.  Bounds pass-2 GT-array retention to O(batch x samples).
+EXTRACT_VARS = int(os.environ.get("MALVA_EXTRACT_VARS", 4096))
 
-    def __init__(self, flush_at: int = 1 << 20):
-        self.by_len: dict[int, list[bytes]] = {}
-        self.n = 0
-        self.flush_at = flush_at
 
-    def add(self, kmer: bytes) -> None:
-        self.by_len.setdefault(len(kmer), []).append(kmer)
-        self.n += 1
+class FlatExtract:
+    """Flat signature-extraction result for a batch of variant blocks.
 
-    def drain(self):
-        for length, kmers in self.by_len.items():
-            if length == 0:
+    Replaces the per-block VK_GROUP dicts: one entry per (variant, allele)
+    target holding ``tgt_nsig`` signatures; ``sig_nk`` k-mers per
+    signature; k-mer byte strings concatenated in ``bytes`` with per-k-mer
+    ``kmer_len``.  ``tgt_var`` indexes ``all_vars`` (the batch's
+    concatenated variant list).  Within-signature k-mer order is
+    preserved (the reference's incremental integer mean is
+    order-dependent, main.cpp:162-181); signature order within an allele
+    is free (coverage is a max over signatures)."""
+
+    __slots__ = ("all_vars", "tgt_var", "tgt_allele", "tgt_nsig", "sig_nk",
+                 "kmer_len", "bytes", "_starts", "_per_kmer_ref", "_slot_of",
+                 "_n_slots")
+
+    def __init__(self, all_vars, tgt_var, tgt_allele, tgt_nsig, sig_nk,
+                 kmer_len, bytes_u8):
+        self.all_vars = all_vars
+        self.tgt_var = tgt_var
+        self.tgt_allele = tgt_allele
+        self.tgt_nsig = tgt_nsig
+        self.sig_nk = sig_nk
+        self.kmer_len = kmer_len
+        self.bytes = bytes_u8
+        self._starts = None
+
+    def _derive(self):
+        if self._starts is not None:
+            return
+        kl = self.kmer_len
+        self._starts = np.zeros(kl.shape[0] + 1, dtype=np.int64)
+        np.cumsum(kl, out=self._starts[1:])
+        per_sig_ref = np.repeat(self.tgt_allele == 0, self.tgt_nsig)
+        self._per_kmer_ref = np.repeat(per_sig_ref, self.sig_nk)
+        nonempty = kl > 0
+        self._slot_of = np.cumsum(nonempty, dtype=np.int64) - 1
+        self._n_slots = int(self._slot_of[-1]) + 1 if kl.shape[0] else 0
+
+    def length_groups(self):
+        """Yield (is_ref, L, kmer_indices, (n, L) matrix) per (is_ref,
+        length) class of nonempty k-mers."""
+        self._derive()
+        kl = self.kmer_len
+        for L in np.unique(kl[kl > 0]).tolist():
+            len_sel = kl == L
+            for is_ref in (True, False):
+                idxs = np.flatnonzero(len_sel & (self._per_kmer_ref == is_ref))
+                if idxs.shape[0] == 0:
+                    continue
+                mat = self.bytes[self._starts[idxs][:, None] + np.arange(L)]
+                yield is_ref, L, idxs, mat
+
+    def slots(self, idxs):
+        """Global occurrence slots (over nonempty k-mers) of kmer_indices."""
+        return self._slot_of[idxs]
+
+    @property
+    def n_slots(self):
+        self._derive()
+        return self._n_slots
+
+    def sig_lens(self):
+        """Nonempty-k-mer count per signature (the coverage scan's run
+        lengths; empty strings count 0 and are skipped, main.cpp:162)."""
+        self._derive()
+        if self.sig_nk.shape[0] == 0:
+            return np.zeros(0, dtype=np.int64)
+        sig_starts = np.zeros(self.sig_nk.shape[0], dtype=np.int64)
+        np.cumsum(self.sig_nk[:-1], out=sig_starts[1:])
+        nonempty = (self.kmer_len > 0).astype(np.int64)
+        if nonempty.shape[0] == 0:
+            return np.zeros(self.sig_nk.shape[0], dtype=np.int64)
+        return np.add.reduceat(nonempty, sig_starts)
+
+
+def _unique_rows(mat: np.ndarray):
+    """(unique_rows, inverse) of a uint8 matrix via 1D void unique."""
+    n, L = mat.shape
+    if n == 0:
+        return mat, np.zeros(0, dtype=np.int64)
+    v = np.ascontiguousarray(mat).view(f"V{L}").ravel()
+    uniq, inv = np.unique(v, return_inverse=True)
+    return uniq.view(np.uint8).reshape(-1, L), inv
+
+
+def _extract_batch_flat(batch, cfg: Config) -> FlatExtract:
+    """[(variants, ref_bytes), ...] -> FlatExtract via the native engine
+    (utils.native.extract_group), falling back to the per-block Python
+    path (blocks.VB.extract_kmers) with identical semantics."""
+    all_vars = [v for variants, _ in batch for v in variants]
+    res = native.extract_group(batch, cfg.k, cfg.haploid)
+    if res is not None:
+        tgt_var, tgt_allele, tgt_nsig, sig_nk, kmer_len, bytes_u8 = res
+        return FlatExtract(all_vars, tgt_var, tgt_allele, tgt_nsig, sig_nk,
+                           kmer_len, bytes_u8)
+    tgt_var: list[int] = []
+    tgt_allele: list[int] = []
+    tgt_nsig: list[int] = []
+    sig_nk: list[int] = []
+    kmer_len: list[int] = []
+    chunks: list[bytes] = []
+    base = 0
+    for variants, ref_bytes in batch:
+        vb = VB(cfg.k, float(cfg.error_rate))
+        vb.variants = list(variants)
+        kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
+        for v_idx, per_allele in kmers.items():
+            for allele_idx, sigs in per_allele.items():
+                tgt_var.append(base + v_idx)
+                tgt_allele.append(allele_idx)
+                tgt_nsig.append(len(sigs))
+                for sig in sigs:
+                    sig_nk.append(len(sig))
+                    for kmer in sig:
+                        kmer_len.append(len(kmer))
+                        chunks.append(kmer)
+        base += len(variants)
+    return FlatExtract(
+        all_vars,
+        np.asarray(tgt_var, dtype=np.int32),
+        np.asarray(tgt_allele, dtype=np.int32),
+        np.asarray(tgt_nsig, dtype=np.int32),
+        np.asarray(sig_nk, dtype=np.int32),
+        np.asarray(kmer_len, dtype=np.int32),
+        np.frombuffer(b"".join(chunks), dtype=np.uint8),
+    )
+
+
+def _iter_extract_batches(cfg: Config, refs, keep_absent: bool,
+                          used_out=None, timer=None):
+    """Yield FlatExtract per EXTRACT_VARS-bounded batch of flushed blocks."""
+    ref_bytes_cache: dict[int, bytes] = {}
+    batch: list[tuple[list, bytes]] = []
+    nv = 0
+    for vb, ref in _iter_blocks(cfg, refs, keep_absent, used_out, timer):
+        # NOTE: setdefault would re-run tobytes() (a full contig copy)
+        # on every block even on cache hits.
+        ref_bytes = b"" if ref is None else ref_bytes_cache.get(id(ref))
+        if ref_bytes is None:
+            ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
+        batch.append((vb.variants, ref_bytes))  # vb.clear() rebinds
+        nv += len(vb.variants)
+        if nv >= EXTRACT_VARS:
+            yield _extract_batch_flat(batch, cfg)
+            batch = []
+            nv = 0
+    if batch:
+        yield _extract_batch_flat(batch, cfg)
+
+
+# Record batch size for the batched GT parse (native.parse_gt_batch,
+# OpenMP across records).
+PARSE_RECS = int(os.environ.get("MALVA_PARSE_RECS", 1024))
+
+
+def _iter_variants(cfg: Config, reader):
+    """Yield Variant per VCF record, with GT regions parsed+decoded in
+    PARSE_RECS-sized native batches (OpenMP across records) instead of
+    per record.  Falls back to the per-record path for sample subsets
+    (the upstream ploidy-1 wrap-around quirk reads the NEXT SELECTED
+    sample, variant.py:104-108 — the batch kernel decodes over the full
+    sample set) and for records the batch kernel rejects."""
+    selected = reader.selected
+    all_selected = list(selected) == list(range(len(reader.sample_names)))
+    use_batch = all_selected and native.load() is not None
+    batch: list = []
+
+    def flush():
+        if not batch:
+            return
+        vs = [Variant(rec, selected, cfg.freq_key, cfg.uniform, skip_gt=True)
+              for rec in batch]
+        need = []
+        for j, v in enumerate(vs):
+            if not (v.has_alts and v.is_present):
                 continue
-            arr = np.frombuffer(b"".join(kmers), dtype=np.uint8).reshape(-1, length)
-            yield arr
-        self.by_len = {}
-        self.n = 0
+            rec = batch[j]
+            gt_at = -1
+            fmt = getattr(rec, "fmt", None)  # BCF records decode GT inline
+            if use_batch and fmt is not None and len(selected):
+                fmt_keys = fmt.split(":")
+                if "GT" in fmt_keys:
+                    gt_at = fmt_keys.index("GT")
+            if gt_at >= 0:
+                need.append((j, gt_at))
+            else:
+                v._extract_genotypes(rec, selected)
+        if need:
+            res = native.parse_gt_batch(
+                [batch[j]._samples_bytes() for j, _ in need],
+                [g for _, g in need], len(reader.sample_names),
+            ) if use_batch else None
+            if res is None:
+                for j, _ in need:
+                    vs[j]._extract_genotypes(batch[j], selected)
+            else:
+                a1, a2, ph, ok = res
+                for r, (j, _) in enumerate(need):
+                    if ok[r]:
+                        vs[j].gt_a1 = a1[r]
+                        vs[j].gt_a2 = a2[r]
+                        vs[j].phase = ph[r]
+                    else:
+                        vs[j]._extract_genotypes(batch[j], selected)
+        batch.clear()
+        yield from vs
+
+    for rec in reader:
+        if cfg.strip_chr and rec.chrom.startswith("chr"):
+            rec.chrom = rec.chrom[3:]
+        batch.append(rec)
+        if len(batch) >= PARSE_RECS:
+            yield from flush()
+    yield from flush()
 
 
 def _iter_blocks(
@@ -111,10 +312,7 @@ def _iter_blocks(
     vb = VB(cfg.k, float(cfg.error_rate))
     last_seq_name = None
     i = 0
-    for rec in reader:
-        if cfg.strip_chr and rec.chrom.startswith("chr"):
-            rec.chrom = rec.chrom[3:]
-        v = Variant(rec, reader.selected, cfg.freq_key, cfg.uniform)
+    for v in _iter_variants(cfg, reader):
         i += 1
         if timer is not None and i % 5000 == 0:
             # progress heartbeat with rollback (main.cpp:317-321)
@@ -150,38 +348,19 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
     ref_bf = KMAP()
     context_bf = BF(cfg.bf_size)
 
-    batcher_alt = _KmerBatcher()
-    batcher_ref = _KmerBatcher()
     used_names: list[str] = []
-
-    ref_bytes_cache: dict[int, bytes] = {}
     n_vars = 0
-    for vb, ref in _iter_blocks(cfg, refs, keep_absent=False, used_out=used_names, timer=timer):
-        # NOTE: setdefault would re-run tobytes() (a full contig copy)
-        # on every block even on cache hits — 30 MB x one block per
-        # sparse variant adds up to terabytes on chr-scale VCFs.
-        ref_bytes = b"" if ref is None else ref_bytes_cache.get(id(ref))
-        if ref_bytes is None:
-            ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
-        kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
-        n_vars += len(vb.variants)
-        # add_kmers_to_bf (main.cpp:122-144)
-        for _v_idx, per_allele in kmers.items():
-            for allele_idx, signatures in per_allele.items():
-                target = batcher_ref if allele_idx == 0 else batcher_alt
-                for sig in signatures:
-                    for kmer in sig:
-                        target.add(kmer)
-        if batcher_alt.n > batcher_alt.flush_at:
-            for arr in batcher_alt.drain():
-                bf.add_keys(arr)
-        if batcher_ref.n > batcher_ref.flush_at:
-            for arr in batcher_ref.drain():
-                ref_bf.add_keys(arr)
-    for arr in batcher_alt.drain():
-        bf.add_keys(arr)
-    for arr in batcher_ref.drain():
-        ref_bf.add_keys(arr)
+    # add_kmers_to_bf (main.cpp:122-144): allele 0 k-mers go to the exact
+    # map, alternate-allele k-mers to the Bloom filter.  Both adds are
+    # idempotent/commutative, so duplicate k-mers need no uniquing here.
+    for flat in _iter_extract_batches(cfg, refs, keep_absent=False,
+                                      used_out=used_names, timer=timer):
+        n_vars += len(flat.all_vars)
+        for is_ref, _L, _idxs, mat in flat.length_groups():
+            if is_ref:
+                ref_bf.add_keys(mat)
+            else:
+                bf.add_keys(mat)
     timer.pelapsed(f"Processed variants ({n_vars} in blocks)")
 
     bf.switch_mode()
@@ -263,18 +442,42 @@ def save_index(index: Index, path: str) -> None:
         st[f"kmap_{k}"] = v
     # The Bloom word arrays are GiB-sized and mostly zero at any realistic
     # fill; zlib-inflating them dominated index load (23 s for a -b 1 pair
-    # at chr scale).  Store them sparse (nonzero index + value) in an
-    # UNCOMPRESSED npz — loads in ~1 s, and the file is smaller too.
+    # at chr scale).  Store them sparse (nonzero index + value), and write
+    # the npz with per-member compression: the sparse word members STORED
+    # (high-entropy, incompressible), everything else (kmap_keys is
+    # ~270 MB of ACGT text at chr scale) DEFLATED at level 1.
     out = {}
+    stored = set()
     for k, v in st.items():
         if k.endswith("_words"):
             nz = np.flatnonzero(v)
             out[k + "_nz"] = nz.astype(np.int64)
             out[k + "_nzv"] = np.asarray(v)[nz]
             out[k + "_len"] = np.int64(v.shape[0])
+            stored.update((k + "_nz", k + "_nzv", k + "_len"))
         else:
             out[k] = v
-    np.savez(path, **out)
+    _write_npz_mixed(path, out, stored)
+
+
+def _write_npz_mixed(path: str, arrays: dict, stored: set) -> None:
+    """npz writer with per-member compression (numpy's savez is all-or-
+    nothing).  np.load reads the result like any other npz."""
+    import io
+    import zipfile
+
+    if not path.endswith(".npz"):
+        path += ".npz"
+    with zipfile.ZipFile(path, "w", allowZip64=True) as zf:
+        for name, arr in arrays.items():
+            buf = io.BytesIO()
+            np.lib.format.write_array(buf, np.asarray(arr), allow_pickle=False)
+            if name in stored:
+                zf.writestr(name + ".npy", buf.getvalue(),
+                            compress_type=zipfile.ZIP_STORED)
+            else:
+                zf.writestr(name + ".npy", buf.getvalue(),
+                            compress_type=zipfile.ZIP_DEFLATED, compresslevel=1)
 
 
 def load_index(path: str) -> Index:
@@ -283,8 +486,9 @@ def load_index(path: str) -> Index:
     for k, v in raw.items():
         if k.endswith("_words_nz"):
             base = k[: -len("_nz")]
-            dense = np.zeros(int(raw[base + "_len"]), dtype=np.uint32)
-            dense[v] = raw[base + "_nzv"]
+            nzv = raw[base + "_nzv"]
+            dense = np.zeros(int(raw[base + "_len"]), dtype=nzv.dtype)
+            dense[v] = nzv
             st[base] = dense
         elif k.endswith("_words_nzv") or k.endswith("_words_len"):
             continue
@@ -341,73 +545,35 @@ def _apply_packed_host(
     return True
 
 
-def _flatten_group(group: list[tuple[list, dict]]):
-    """Plane-independent half of :func:`_set_coverages_group`: one pass
-    assigns every k-mer occurrence a slot and records signature/allele
-    boundaries as run lengths.  Returns (by_q, sig_lens, allele_nsig,
-    targets) — reusable across sample planes in batch mode."""
-    # (is_ref, length) -> (uniq kmer -> uniq idx, slot ids, uniq idx per slot)
-    by_q: dict[tuple[bool, int], tuple[dict, list[int], list[int]]] = {}
-    sig_lens: list[int] = []
-    allele_nsig: list[int] = []
-    targets: list[tuple[list, int, int]] = []
-    slot = 0
-    for variants, kmers in group:
-        for v_idx, per_allele in kmers.items():
-            for allele_idx, signatures in per_allele.items():
-                is_ref = allele_idx == 0
-                for sig in signatures:
-                    nk = 0
-                    for kmer in sig:
-                        if not kmer:
-                            continue  # zero-length: count 0, scan skips it
-                        g = by_q.get((is_ref, len(kmer)))
-                        if g is None:
-                            g = by_q[(is_ref, len(kmer))] = ({}, [], [])
-                        uniq, slots_l, uidx_l = g
-                        ui = uniq.get(kmer)
-                        if ui is None:
-                            ui = uniq[kmer] = len(uniq)
-                        slots_l.append(slot)
-                        uidx_l.append(ui)
-                        slot += 1
-                        nk += 1
-                    sig_lens.append(nk)
-                allele_nsig.append(len(signatures))
-                targets.append((variants, v_idx, allele_idx))
-    return by_q, slot, sig_lens, allele_nsig, targets
-
-
-def _set_coverages_flat(index: Index, flat) -> None:
-    """Per-plane half of :func:`_set_coverages_group`: issue the batched
-    queries against THIS index's counters and run the mean/max scan."""
-    by_q, slot, sig_lens, allele_nsig, targets = flat
-    w_flat = np.zeros(slot, dtype=np.int64)
-    for (is_ref, length), (uniq, slots_l, uidx_l) in by_q.items():
-        arr = np.frombuffer(b"".join(uniq), dtype=np.uint8).reshape(-1, length)
+def _set_coverages_flat(index: Index, flat: FlatExtract) -> None:
+    """main.cpp:151-184 over a FlatExtract batch: per-allele coverage =
+    max over signatures of the incremental integer mean of the nonzero
+    k-mer counts.  Queries are issued as one batch per (is_ref, length)
+    over the UNIQUE k-mers; the sequential mean/max scan runs in the
+    native kernel (malva_coverage)."""
+    w_flat = np.zeros(flat.n_slots, dtype=np.int64)
+    for is_ref, _L, idxs, mat in flat.length_groups():
+        uarr, inv = _unique_rows(mat)
         vals = (
-            index.ref_bf.get_counts(arr)
+            index.ref_bf.get_counts(uarr)
             if is_ref
-            else index.bf.get_counts(arr).astype(np.int64)
+            else index.bf.get_counts(uarr).astype(np.int64)
         )
-        w_flat[np.asarray(slots_l, dtype=np.int64)] = vals[
-            np.asarray(uidx_l, dtype=np.int64)
-        ]
+        w_flat[flat.slots(idxs)] = vals[inv]
     _scan_and_assign(w_flat, flat)
 
 
-def _scan_and_assign(w_flat: np.ndarray, flat) -> None:
+def _scan_and_assign(w_flat: np.ndarray, flat: FlatExtract) -> None:
     """Mean/max coverage scan over resolved k-mer weights + write-back
     into the Variant objects (main.cpp:162-181 semantics)."""
-    _by_q, _slot, sig_lens, allele_nsig, targets = flat
-    sl = np.asarray(sig_lens, dtype=np.int64)
-    an = np.asarray(allele_nsig, dtype=np.int64)
+    sl = flat.sig_lens()
+    an = np.asarray(flat.tgt_nsig, dtype=np.int64)
     cov = native.coverage(w_flat, sl, an)
     if cov is None:  # pure-Python mirror of native/host_kernels.cpp
         cov = np.zeros(an.shape[0], dtype=np.int64)
         sig_off = np.concatenate([[0], np.cumsum(sl)])
         s = 0
-        for a, nsig in enumerate(allele_nsig):
+        for a, nsig in enumerate(an.tolist()):
             best = 0
             for _ in range(nsig):
                 curr = 0
@@ -420,31 +586,30 @@ def _scan_and_assign(w_flat: np.ndarray, flat) -> None:
                 if curr > best:
                     best = curr
             cov[a] = best
+    all_vars = flat.all_vars
+    for vi, ai, c in zip(flat.tgt_var.tolist(), flat.tgt_allele.tolist(),
+                         cov.tolist()):
+        if ai >= 0:
+            all_vars[vi].set_coverage(ai, c)
 
-    for (variants, v_idx, allele_idx), c in zip(targets, cov.tolist()):
-        if allele_idx >= 0:
-            variants[v_idx].set_coverage(allele_idx, c)
 
-
-def _flat_query_info(index: Index, flat) -> list:
-    """Sample-independent resolution of a flat group's unique queries:
-    canonicalization, hashing, Bloom bit/rank lookups, exact-map slot
-    lookups — everything that does NOT touch counter values.  Batch mode
-    runs this once per group and answers each sample from its counter
-    PLANE (uint16 BF counters + uint32 KMAP values, see call_batch)."""
-    by_q, slot, _sig_lens, _allele_nsig, _targets = flat
+def _flat_query_info(index: Index, flat: FlatExtract) -> list:
+    """Sample-independent resolution of a FlatExtract's unique queries:
+    Bloom bit/rank lookups, exact-map slot lookups — everything that does
+    NOT touch counter values.  Batch mode runs this once per group and
+    answers each sample from its counter PLANE (uint16 BF counters +
+    uint32 KMAP values, see call_batch)."""
     qs = []
-    for (is_ref, length), (uniq, slots_l, uidx_l) in by_q.items():
-        arr = np.frombuffer(b"".join(uniq), dtype=np.uint8).reshape(-1, length)
-        slots_a = np.asarray(slots_l, dtype=np.int64)
-        uidx_a = np.asarray(uidx_l, dtype=np.int64)
+    for is_ref, _L, idxs, mat in flat.length_groups():
+        uarr, inv = _unique_rows(mat)
+        slots_a = flat.slots(idxs)
         if is_ref:
-            found, kslot = index.ref_bf.get_slots(arr)
-            qs.append((True, slots_a, uidx_a, found, kslot))
+            found, kslot = index.ref_bf.get_slots(uarr)
+            qs.append((True, slots_a, inv, found, kslot))
         else:
-            is_set, cnt_idx = index.bf.count_slots(arr)
-            qs.append((False, slots_a, uidx_a, is_set, cnt_idx))
-    return [qs, slot]
+            is_set, cnt_idx = index.bf.count_slots(uarr)
+            qs.append((False, slots_a, inv, is_set, cnt_idx))
+    return [qs, flat.n_slots]
 
 
 def _weights_from_planes(qinfo: list, bf_plane: np.ndarray,
@@ -462,24 +627,6 @@ def _weights_from_planes(qinfo: list, bf_plane: np.ndarray,
             vals[found] = bf_plane[idx[found]]
         w_flat[slots_a] = vals[uidx_a]
     return w_flat
-
-
-def _set_coverages_group(index: Index, group: list[tuple[list, dict]]) -> None:
-    """main.cpp:151-184 batched across many variant blocks: per-allele
-    coverage = max over signatures of the incremental integer mean of the
-    nonzero k-mer counts.  ``group`` is [(variants, kmers_dict), ...].
-
-    One flattening pass assigns every k-mer occurrence a slot and records
-    signature/allele boundaries as run lengths; queries are issued as one
-    batch per (is_ref, length) over the UNIQUE k-mers of that batch, and
-    the sequential mean/max scan runs in the native kernel
-    (malva_coverage) — no per-k-mer Python dict in the hot pass."""
-    _set_coverages_flat(index, _flatten_group(group))
-
-
-def _set_coverages(index: Index, vb: VB, kmers: dict) -> None:
-    """Single-block convenience wrapper over :func:`_set_coverages_group`."""
-    _set_coverages_group(index, [(vb.variants, kmers)])
 
 
 def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = None) -> None:
@@ -503,7 +650,12 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
             cfg.sample_path, cfg.ref_k, cfg.spill_dir,
             use_device=on_device,
         )
-        if on_device:
+        mesh = _call_mesh(cfg, nbytes, DEVICE_MIN_READ_BYTES)
+        if mesh is not None:
+            from .parallel.sharded_index import apply_sample_counts_sharded_stream
+
+            apply_sample_counts_sharded_stream(index, batches, cfg, mesh)
+        elif on_device:
             from .index.device import apply_sample_counts_stream
 
             apply_sample_counts_stream(index, batches, cfg)
@@ -517,7 +669,14 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
     else:
         contexts, counts = _sample_kmers(cfg, cfg.sample_path)
         timer.pelapsed("Sample k-mer counting")
-        if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
+        mesh = _call_mesh(cfg, contexts.shape[0], DEVICE_MIN_KMERS)
+        if mesh is not None:
+            from .parallel.sharded_index import apply_sample_counts_sharded_stream
+
+            apply_sample_counts_sharded_stream(
+                index, [(contexts, counts)], cfg, mesh
+            )
+        elif _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
             from .index.device import apply_sample_counts_device
 
             apply_sample_counts_device(index, contexts, counts, cfg)
@@ -558,9 +717,31 @@ def _kmc_est_kmers(cfg: Config, path: str) -> int:
         return 0
 
 
+def _call_mesh(cfg: Config, work: int, floor: int):
+    """Mesh for the multi-chip call step, or None (single device, host
+    routing, or Bloom word count not divisible across devices).  Mirrors
+    the index phase's multi-chip routing in build_index."""
+    if _resolve_backend(cfg, work, floor) != "device":
+        return None
+    import jax
+
+    n = len(jax.devices())
+    if n > 1 and (cfg.bf_size // 32) % n == 0:
+        from .parallel.mesh import make_mesh
+
+        return make_mesh(n)
+    return None
+
+
 def _apply_kmc_stream(cfg: Config, index: Index, path: str, dev=None) -> None:
+    est = _kmc_est_kmers(cfg, path)
     batches = _kmc_batches(cfg, path)
-    if _resolve_backend(cfg, _kmc_est_kmers(cfg, path), DEVICE_MIN_KMERS) == "device":
+    mesh = None if dev is not None else _call_mesh(cfg, est, DEVICE_MIN_KMERS)
+    if mesh is not None:
+        from .parallel.sharded_index import apply_sample_counts_sharded_stream
+
+        apply_sample_counts_sharded_stream(index, batches, cfg, mesh)
+    elif _resolve_backend(cfg, est, DEVICE_MIN_KMERS) == "device":
         from .index.device import apply_sample_counts_stream
 
         apply_sample_counts_stream(index, batches, cfg, dev=dev)
@@ -593,29 +774,18 @@ def _as_ascii(contexts: np.ndarray, ref_k: int) -> np.ndarray:
     return unpack_2bit(contexts, ref_k) if contexts.dtype == np.uint64 else contexts
 
 
-# Pass-2 group size: blocks are coverage-queried/genotyped/emitted in
-# groups so the BF/KMAP batches and the native genotype call amortize
-# across thousands of (tiny) blocks.  Bounded by queued k-mer count.
-GROUP_KMERS = int(os.environ.get("MALVA_GROUP_KMERS", 1 << 20))
-
-
 def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:
     reader = open_variant_reader(cfg.vcf_path, cfg.samples)
     out.write(cleaned_header(reader.meta_lines, cfg.verbose))
 
     n = 0
-
-    def emit_group(group: list[tuple[list, dict]]) -> None:
-        nonlocal n
-        _set_coverages_group(index, group)
-        all_vars = [v for variants, _ in group for v in variants]
-        genotype_block(all_vars, cfg.max_coverage, cfg.haploid, cfg.error_rate)
-        for line in format_variants(all_vars, cfg.haploid, cfg.verbose):
+    for flat in _iter_pass2_batches(cfg, refs):
+        _set_coverages_flat(index, flat)
+        genotype_block(flat.all_vars, cfg.max_coverage, cfg.haploid,
+                       cfg.error_rate)
+        for line in format_variants(flat.all_vars, cfg.haploid, cfg.verbose):
             out.write(line + "\n")
-        n += len(all_vars)
-
-    for group in _iter_block_groups(cfg, refs):
-        emit_group(group)
+        n += len(flat.all_vars)
     timer.pelapsed(f"VCF parsing and genotyping ({n} variants)")
 
 
@@ -623,42 +793,20 @@ _EMPTY_I32 = np.zeros(0, dtype=np.int32)
 _EMPTY_BOOL = np.zeros(0, dtype=bool)
 
 
-def _iter_block_groups(cfg: Config, refs):
-    """Yield groups [(variants, kmers), ...] of flushed call-phase blocks,
-    cut at ~GROUP_KMERS queued signature k-mers."""
-    ref_bytes_cache: dict[int, bytes] = {}
-    group: list[tuple[list, dict]] = []
-    queued = 0
-    for vb, ref in _iter_blocks(cfg, refs, keep_absent=True):
-        # NOTE: setdefault would re-run tobytes() (a full contig copy)
-        # on every block even on cache hits — 30 MB x one block per
-        # sparse variant adds up to terabytes on chr-scale VCFs.
-        ref_bytes = b"" if ref is None else ref_bytes_cache.get(id(ref))
-        if ref_bytes is None:
-            ref_bytes = ref_bytes_cache[id(ref)] = ref.tobytes()
-        kmers = vb.extract_kmers(ref_bytes, cfg.haploid)
-        # GT arrays are consumed by extract_kmers (haplotype enumeration);
-        # genotyping/output need only frequencies+coverages.  Dropping them
-        # here keeps a queued group O(variants), not O(variants x samples)
-        # — at 1000G shape (2,504 samples) they are ~22 KB per variant,
-        # dominating pass-2 peak RSS (reference streams pass 2 in O(block),
-        # main.cpp:517-579).
-        for v in vb.variants:
+def _iter_pass2_batches(cfg: Config, refs):
+    """Yield call-phase FlatExtract batches with the GT arrays dropped.
+
+    GT arrays are consumed by extraction (haplotype enumeration);
+    genotyping/output need only frequencies+coverages.  Dropping them
+    right after each extraction batch keeps retention O(batch), not
+    O(variants x samples) — at 1000G shape (2,504 samples) they are
+    ~22 KB per variant (reference streams pass 2 in O(block),
+    main.cpp:517-579)."""
+    for flat in _iter_extract_batches(cfg, refs, keep_absent=True):
+        for v in flat.all_vars:
             v.gt_a1 = v.gt_a2 = _EMPTY_I32
             v.phase = _EMPTY_BOOL
-        group.append((vb.variants, kmers))  # vb.clear() rebinds, list is ours
-        queued += sum(
-            len(sig)
-            for per_allele in kmers.values()
-            for sigs in per_allele.values()
-            for sig in sigs
-        )
-        if queued >= GROUP_KMERS:
-            yield group
-            group = []
-            queued = 0
-    if group:
-        yield group
+        yield flat
 
 
 def _reset_counters(index: Index) -> None:
@@ -734,17 +882,16 @@ def call_batch(
     for out in outs:
         out.write(header)
     n = 0
-    for group in _iter_block_groups(cfg, refs):
-        all_vars = [v for variants, _ in group for v in variants]
-        flat = _flatten_group(group)       # plane-independent: flatten ONCE
-        qinfo = _flat_query_info(index, flat)  # ... and resolve ONCE
+    for flat in _iter_pass2_batches(cfg, refs):
+        qinfo = _flat_query_info(index, flat)  # resolve queries ONCE
         for (bf_plane, kmap_plane), out in zip(planes, outs):
-            for v in all_vars:
+            for v in flat.all_vars:
                 v.computed_gts = []
             _scan_and_assign(_weights_from_planes(qinfo, bf_plane, kmap_plane),
                              flat)
-            genotype_block(all_vars, cfg.max_coverage, cfg.haploid, cfg.error_rate)
-            for line in format_variants(all_vars, cfg.haploid, cfg.verbose):
+            genotype_block(flat.all_vars, cfg.max_coverage, cfg.haploid,
+                           cfg.error_rate)
+            for line in format_variants(flat.all_vars, cfg.haploid, cfg.verbose):
                 out.write(line + "\n")
-        n += len(all_vars)
+        n += len(flat.all_vars)
     timer.pelapsed(f"VCF parsing and genotyping ({n} variants x {len(planes)} samples)")

@@ -120,6 +120,28 @@ def load() -> "ctypes.CDLL | None":
             fn = getattr(lib, name)
             fn.restype = None
             fn.argtypes = [u32p, i64p, u32p, ctypes.c_int64]
+        lib.malva_parse_gt_batch.restype = None
+        lib.malva_parse_gt_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.malva_extract_group.restype = ctypes.c_int64
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p_ = ctypes.POINTER(ctypes.c_int64)
+        lib.malva_extract_group.argtypes = [
+            ctypes.c_int64, i64p_, u64p, i64p_,           # blocks, refs
+            i64p_, i64p_, i64p_, u8p,                     # pos/size/min/present
+            i64p_, i64p_, u8p,                            # alleles
+            u64p, u64p, u64p, ctypes.c_int64,             # gt ptrs, n_ind
+            ctypes.c_int64, ctypes.c_int,                 # k, haploid
+            i32p, i32p, i32p, ctypes.c_int64,             # targets
+            i32p, ctypes.c_int64,                         # sig_nk
+            i32p, ctypes.c_int64,                         # kmer_len
+            u8p, ctypes.c_int64,                          # bytes
+            i64p_,                                        # out_counts
+        ]
         lib.malva_sort_count.restype = ctypes.c_int64
         lib.malva_sort_count.argtypes = [u64p, ctypes.c_int64, i64p]
         lib.malva_merge_runs.restype = ctypes.c_int64
@@ -543,3 +565,163 @@ class CombsNative:
             self.cap_idx <<= 2
             self.cap_combs <<= 2
             self._alloc()
+
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+def extract_group(blocks, k: int, haploid: bool):
+    """Native signature extraction over a group of variant blocks (the
+    full blocks.VB.extract_kmers, reference var_block.hpp:95-219, OpenMP
+    across blocks).  ``blocks`` is [(variants, ref_bytes), ...]; returns
+    (tgt_var, tgt_allele, tgt_nsig, sig_nk, kmer_len, bytes_u8) with
+    tgt_var indexing the concatenated variant list, or None when the
+    library is unavailable / the group needs the Python path."""
+    lib = load()
+    if lib is None or not blocks:
+        return None
+    n_blocks = len(blocks)
+    blk_off = np.zeros(n_blocks + 1, dtype=np.int64)
+    ref_ptrs = np.zeros(n_blocks, dtype=np.uint64)
+    ref_lens = np.zeros(n_blocks, dtype=np.int64)
+    keep_alive = []
+    all_vars = []
+    for b, (variants, ref_bytes) in enumerate(blocks):
+        blk_off[b + 1] = blk_off[b] + len(variants)
+        rv = np.frombuffer(ref_bytes, dtype=np.uint8) if ref_bytes else np.zeros(0, np.uint8)
+        keep_alive.append(rv)
+        ref_ptrs[b] = rv.ctypes.data if rv.size else 0
+        ref_lens[b] = rv.size
+        all_vars.extend(variants)
+    nv = len(all_vars)
+    pos = np.fromiter((v.ref_pos for v in all_vars), np.int64, nv)
+    size = np.fromiter((v.ref_size for v in all_vars), np.int64, nv)
+    mins = np.fromiter((v.min_size for v in all_vars), np.int64, nv)
+    present = np.fromiter((v.is_present for v in all_vars), np.uint8, nv)
+
+    al_list = []
+    na = np.empty(nv, dtype=np.int64)
+    for i, v in enumerate(all_vars):
+        al_list.append(v.ref_sub)
+        al_list.extend(v.alts)
+        na[i] = 1 + len(v.alts)
+    al_start = np.zeros(nv + 1, dtype=np.int64)
+    np.cumsum(na, out=al_start[1:])
+    n_all = int(al_start[-1])
+    al_off = np.zeros(n_all + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(a) for a in al_list), np.int64, n_all),
+              out=al_off[1:])
+    al_bytes = np.frombuffer(b"".join(al_list), dtype=np.uint8)
+    if al_bytes.size == 0:
+        al_bytes = np.zeros(1, dtype=np.uint8)
+
+    gt1 = np.zeros(nv, dtype=np.uint64)
+    gt2 = np.zeros(nv, dtype=np.uint64)
+    ph = np.zeros(nv, dtype=np.uint64)
+    n_ind = -1
+    for i, v in enumerate(all_vars):
+        if not v.is_present:
+            continue
+        a1, a2, p = v.gt_a1, v.gt_a2, v.phase
+        if a1.shape[0] == 0:
+            continue
+        if (a1.dtype != np.int32 or a2.dtype != np.int32
+                or p.dtype != np.bool_ or not a1.flags.c_contiguous
+                or not a2.flags.c_contiguous or not p.flags.c_contiguous):
+            return None
+        if n_ind < 0:
+            n_ind = a1.shape[0]
+        elif a1.shape[0] != n_ind:
+            return None  # inconsistent sample counts: Python path
+        gt1[i] = a1.ctypes.data
+        gt2[i] = a2.ctypes.data
+        ph[i] = p.ctypes.data
+    if n_ind < 0:
+        n_ind = 0
+    else:
+        # a present variant without GT arrays would KeyError in the
+        # Python path too; native treats it as absent — keep paths equal
+        for i, v in enumerate(all_vars):
+            if v.is_present and gt1[i] == 0:
+                return None
+
+    cap_tgt = 4 * nv + 64
+    cap_sig = 8 * nv + 64
+    cap_kmer = 16 * nv + 64
+    cap_bytes = cap_kmer * (k + 1)
+    counts = np.zeros(5, dtype=np.int64)
+    for _ in range(2):
+        tgt_var = np.empty(cap_tgt, dtype=np.int32)
+        tgt_allele = np.empty(cap_tgt, dtype=np.int32)
+        tgt_nsig = np.empty(cap_tgt, dtype=np.int32)
+        sig_nk = np.empty(cap_sig, dtype=np.int32)
+        kmer_len = np.empty(cap_kmer, dtype=np.int32)
+        out_bytes = np.empty(max(cap_bytes, 1), dtype=np.uint8)
+        rc = lib.malva_extract_group(
+            n_blocks, blk_off.ctypes.data_as(_I64P),
+            ref_ptrs.ctypes.data_as(_U64P), ref_lens.ctypes.data_as(_I64P),
+            pos.ctypes.data_as(_I64P), size.ctypes.data_as(_I64P),
+            mins.ctypes.data_as(_I64P), present.ctypes.data_as(_U8P),
+            al_start.ctypes.data_as(_I64P), al_off.ctypes.data_as(_I64P),
+            al_bytes.ctypes.data_as(_U8P),
+            gt1.ctypes.data_as(_U64P), gt2.ctypes.data_as(_U64P),
+            ph.ctypes.data_as(_U64P), n_ind, k, 1 if haploid else 0,
+            tgt_var.ctypes.data_as(_I32P), tgt_allele.ctypes.data_as(_I32P),
+            tgt_nsig.ctypes.data_as(_I32P), cap_tgt,
+            sig_nk.ctypes.data_as(_I32P), cap_sig,
+            kmer_len.ctypes.data_as(_I32P), cap_kmer,
+            out_bytes.ctypes.data_as(_U8P), cap_bytes,
+            counts.ctypes.data_as(_I64P),
+        )
+        if rc == 0:
+            if counts[4] >= 0:
+                _warn_oob_allele(all_vars[int(counts[4])])
+            nt, ns, nk, nb = (int(counts[0]), int(counts[1]), int(counts[2]),
+                              int(counts[3]))
+            return (tgt_var[:nt], tgt_allele[:nt], tgt_nsig[:nt],
+                    sig_nk[:ns], kmer_len[:nk], out_bytes[:nb])
+        # counts are exact even on overflow: retry with exact capacities
+        cap_tgt, cap_sig, cap_kmer, cap_bytes = (
+            int(counts[0]), int(counts[1]), int(counts[2]), int(counts[3]))
+    return None  # pragma: no cover - second pass has exact capacity
+
+
+def _warn_oob_allele(v) -> None:
+    from ..variants import blocks as _blocks
+
+    if not _blocks._warned_oob_allele:
+        print(
+            f"[malva-tpu] warning: GT allele index beyond ALT count at "
+            f"{v.seq_name}:{v.ref_pos + 1} (symbolic ALT dropped?); using REF",
+            file=sys.stderr,
+        )
+        _blocks._warned_oob_allele = True
+
+
+def parse_gt_batch(regions: list, gt_ats: list, n_samples: int):
+    """Batched GT parse + fused htslib decode over many records (OpenMP
+    across records).  -> (a1 (R,S) i32, a2 (R,S) i32, phase (R,S) bool,
+    ok (R,) bool) with per-record rows valid where ok; None when the
+    library is unavailable."""
+    lib = load()
+    if lib is None or n_samples == 0 or not regions:
+        return None
+    buf = np.frombuffer(b"".join(regions), dtype=np.uint8)
+    off = np.zeros(len(regions) + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(r) for r in regions), np.int64, len(regions)),
+              out=off[1:])
+    ga = np.asarray(gt_ats, dtype=np.int64)
+    R = len(regions)
+    a1 = np.empty((R, n_samples), dtype=np.int32)
+    a2 = np.empty((R, n_samples), dtype=np.int32)
+    ph = np.empty((R, n_samples), dtype=np.bool_)
+    ok = np.zeros(R, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    lib.malva_parse_gt_batch(
+        buf.ctypes.data_as(_U8P), off.ctypes.data_as(_I64P),
+        ga.ctypes.data_as(_I64P), R, n_samples,
+        a1.ctypes.data_as(_I32P), a2.ctypes.data_as(_I32P),
+        ph.ctypes.data_as(_U8P), ok.ctypes.data_as(_U8P),
+    )
+    return a1, a2, ph, ok.astype(bool)

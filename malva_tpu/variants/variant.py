@@ -29,7 +29,8 @@ class Variant:
         "has_alts", "is_present", "frequencies", "coverages", "computed_gts",
     )
 
-    def __init__(self, rec: VcfRecord, selected: list[int], freq_key: str, uniform: bool):
+    def __init__(self, rec: VcfRecord, selected: list[int], freq_key: str,
+                 uniform: bool, skip_gt: bool = False):
         self.seq_name: str = rec.chrom
         self.ref_pos: int = rec.pos0
         self.idx: str = rec.idx
@@ -57,8 +58,11 @@ class Variant:
             self.min_size = min(self.ref_size, *(len(a) for a in self.alts))
             self.max_size = max(self.ref_size, *(len(a) for a in self.alts))
             self._extract_frequencies(rec, freq_key, uniform)
-            if self.is_present:
+            if self.is_present and not skip_gt:
                 self._extract_genotypes(rec, selected)
+            # skip_gt: the caller batch-parses GT (pipeline._make_variants
+            # via native.parse_gt_batch) and assigns gt_a1/gt_a2/phase —
+            # or calls _extract_genotypes itself on the fallback path
 
     # -- frequencies (variant.hpp:126-156) --------------------------------
     def _extract_frequencies(self, rec: VcfRecord, freq_key: str, uniform: bool):

@@ -939,3 +939,621 @@ void malva_search_u64rows(const uint64_t* sorted, int64_t m,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Variant-block signature-extraction engine (the full extract_kmers of
+// malva_tpu/variants/blocks.py, i.e. reference var_block.hpp:95-219 +
+// :436-786, over a GROUP of blocks in one call, OpenMP-parallel across
+// blocks).  Semantics mirror blocks.py exactly; ORDER of signatures
+// within an allele bucket is unspecified (the downstream coverage is a
+// max over signatures), but the k-mer order WITHIN a signature is fixed
+// (the integer incremental mean is order-dependent).
+//
+// Per-group flat inputs (see utils/native.py extract_group):
+//   blk_off[n_blocks+1]      variant index ranges per block
+//   ref_ptrs/ref_lens        per-block contig bytes
+//   pos/vsize/vmin/present   per-variant (global index)
+//   al_start[n_vars+1]       variant v's alleles are al_off slots
+//                            [al_start[v], al_start[v+1]]; allele 0 = REF
+//   al_off[total_alleles+1]  byte offsets into al_bytes
+//   gt1/gt2/ph ptrs          per-variant int32*/int32*/uint8* (0 if absent)
+// Flat outputs, grouped per (variant, allele_index) target:
+//   tgt_var/tgt_allele/tgt_nsig, sig_nk (k-mers per signature),
+//   kmer_len + bytes (concatenated k-mer strings).
+// Returns 0, or -1 when any output capacity would be exceeded (caller
+// grows and retries).  out_counts[4] = first variant with an
+// out-of-range GT allele index (clamped to REF), or -1.
+
+#include <string>
+#include <unordered_set>
+
+namespace {
+
+struct BlockOut {
+  std::string bytes;
+  std::vector<int32_t> kmer_len;
+  std::vector<int32_t> sig_nk;
+  std::vector<int32_t> tgt_var, tgt_allele, tgt_nsig;
+  int64_t oob_var = -1;
+};
+
+struct StrView {
+  const uint8_t* p;
+  int64_t n;
+};
+
+// append a length-prefixed element to a dedup key
+inline void key_append(std::string& key, const uint8_t* p, int64_t n) {
+  uint32_t len32 = (uint32_t)n;
+  key.append((const char*)&len32, 4);
+  key.append((const char*)p, (size_t)n);
+}
+
+class BlockExtractor {
+ public:
+  BlockExtractor(const int64_t* pos, const int64_t* vsize, const int64_t* vmin,
+                 const uint8_t* present, const int64_t* al_start,
+                 const int64_t* al_off, const uint8_t* al_bytes,
+                 const uint64_t* gt1, const uint64_t* gt2, const uint64_t* ph,
+                 int64_t v0, int64_t v1, const uint8_t* ref, int64_t ref_len,
+                 int64_t n_ind, int64_t k, bool haploid, BlockOut& out)
+      : pos_(pos), vsize_(vsize), vmin_(vmin), present_(present),
+        al_start_(al_start), al_off_(al_off), al_bytes_(al_bytes),
+        gt1_(gt1), gt2_(gt2), ph_(ph), v0_(v0), v1_(v1), ref_(ref),
+        ref_len_(ref_len), n_ind_(n_ind), k_(k), haploid_(haploid),
+        out_(out) {
+    int64_t n = v1 - v0;
+    vs_.resize(n);
+    for (int64_t i = 0; i < n; ++i)
+      vs_[i] = V{pos[v0 + i], vsize[v0 + i], vmin[v0 + i], present[v0 + i]};
+  }
+
+  void run() {
+    build_profiles();
+    for (int64_t i = 0; i < (int64_t)vs_.size(); ++i) extract_variant(i);
+  }
+
+ private:
+  int64_t n_alleles(int64_t gv) const {
+    return al_start_[gv + 1] - al_start_[gv];
+  }
+  StrView allele(int64_t gv, int64_t a) const {
+    // blocks.py _allele / _get_allele: index > len(alts) clamps to REF
+    if (a >= n_alleles(gv)) {
+      if (out_.oob_var < 0) out_.oob_var = gv;
+      a = 0;
+    }
+    int64_t s = al_off_[al_start_[gv] + a];
+    int64_t e = al_off_[al_start_[gv] + a + 1];
+    return StrView{al_bytes_ + s, e - s};
+  }
+
+  // -- unique joint-genotype profiles over present variants --------------
+  // P_ is row-major: per row, per present variant: (a1, a2, phase) int32
+  // triples (diploid) or a single a1 (haploid).  col_of_[local idx] = the
+  // variant's group index in P_, or -1.
+  void build_profiles() {
+    int64_t n = (int64_t)vs_.size();
+    col_of_.assign(n, -1);
+    int64_t ncols = 0;
+    for (int64_t i = 0; i < n; ++i)
+      if (vs_[i].present && n_ind_ > 0 && gt1_[v0_ + i]) col_of_[i] = ncols++;
+    stride_ = haploid_ ? 1 : 3;
+    width_ = ncols * stride_;
+    if (ncols == 0 || n_ind_ == 0) return;
+    std::vector<const int32_t*> a1(ncols), a2(ncols);
+    std::vector<const uint8_t*> ph(ncols);
+    for (int64_t i = 0; i < n; ++i) {
+      if (col_of_[i] < 0) continue;
+      a1[col_of_[i]] = (const int32_t*)gt1_[v0_ + i];
+      a2[col_of_[i]] = (const int32_t*)gt2_[v0_ + i];
+      ph[col_of_[i]] = (const uint8_t*)ph_[v0_ + i];
+    }
+    std::vector<int32_t> row(width_);
+    std::unordered_set<std::string> seen;
+    seen.reserve((size_t)n_ind_ * 2);
+    P_.reserve((size_t)std::min<int64_t>(n_ind_, 1024) * width_);
+    for (int64_t r = 0; r < n_ind_; ++r) {
+      for (int64_t c = 0; c < ncols; ++c) {
+        if (haploid_) {
+          row[c] = a1[c][r];
+        } else {
+          row[3 * c] = a1[c][r];
+          row[3 * c + 1] = a2[c][r];
+          row[3 * c + 2] = (int32_t)ph[c][r];
+        }
+      }
+      std::string key((const char*)row.data(), row.size() * 4);
+      if (seen.insert(std::move(key)).second)
+        P_.insert(P_.end(), row.begin(), row.end());
+    }
+  }
+
+  // project P_ (or another matrix) onto the given variant columns and
+  // deduplicate rows; cols are local variant indices (must have col_of_
+  // >= 0).  Output is row-major with the same per-variant stride.
+  void project_dedup(const std::vector<int32_t>& src, int64_t src_width,
+                     const std::vector<int64_t>& src_cols_of_local,
+                     const std::vector<int64_t>& want_local,
+                     std::vector<int32_t>& dst) {
+    dst.clear();
+    int64_t w = (int64_t)want_local.size() * stride_;
+    if (src_width == 0 || src.empty()) return;
+    int64_t rows = (int64_t)src.size() / src_width;
+    std::vector<int64_t> take;
+    take.reserve(w);
+    for (int64_t j : want_local) {
+      int64_t c = src_cols_of_local[j];
+      for (int64_t s = 0; s < stride_; ++s) take.push_back(c * stride_ + s);
+    }
+    std::vector<int32_t> row(w);
+    std::unordered_set<std::string> seen;
+    for (int64_t r = 0; r < rows; ++r) {
+      const int32_t* base = src.data() + r * src_width;
+      for (int64_t j = 0; j < w; ++j) row[j] = base[take[j]];
+      std::string key((const char*)row.data(), row.size() * 4);
+      if (seen.insert(std::move(key)).second)
+        dst.insert(dst.end(), row.begin(), row.end());
+    }
+  }
+
+  void extract_variant(int64_t i) {
+    int64_t gv = v0_ + i;
+    const V& v = vs_[i];
+    if (!v.present || v.pos < k_ || v.pos > ref_len_ - k_) return;
+
+    combs_.clear();
+    {
+      std::vector<std::vector<int32_t>> right, left;
+      grow(vs_, i, k_, +1, right);
+      grow(vs_, i, k_, -1, left);
+      if (left.empty() && right.empty()) {
+        combs_.push_back({(int32_t)i});
+      } else if (left.empty()) {
+        for (const auto& rc : right) {
+          std::vector<int32_t> c{(int32_t)i};
+          c.insert(c.end(), rc.begin(), rc.end());
+          combs_.push_back(std::move(c));
+        }
+      } else {
+        for (const auto& lc : left) {
+          std::vector<int32_t> base(lc.rbegin(), lc.rend());
+          base.push_back((int32_t)i);
+          if (right.empty()) {
+            combs_.push_back(base);
+          } else {
+            for (const auto& rc : right) {
+              std::vector<int32_t> c = base;
+              c.insert(c.end(), rc.begin(), rc.end());
+              combs_.push_back(std::move(c));
+            }
+          }
+        }
+      }
+    }
+
+    // window = sorted union of comb members; project block profiles
+    std::vector<int64_t> window;
+    {
+      std::vector<char> in(vs_.size(), 0);
+      for (const auto& c : combs_)
+        for (int32_t j : c) in[j] = 1;
+      for (int64_t j = 0; j < (int64_t)vs_.size(); ++j)
+        if (in[j]) window.push_back(j);
+    }
+    std::vector<int64_t> wpos_of(vs_.size(), -1);
+    for (int64_t w = 0; w < (int64_t)window.size(); ++w)
+      wpos_of[window[w]] = w;
+    std::vector<int64_t> colmap(vs_.size(), -1);
+    for (int64_t j = 0; j < (int64_t)vs_.size(); ++j) colmap[j] = col_of_[j];
+    wmat_.clear();
+    project_dedup(P_, width_, colmap, window, wmat_);
+    int64_t wmat_width = (int64_t)window.size() * stride_;
+
+    // temp per-variant signature store, grouped per allele at the end
+    var_bytes_.clear();
+    var_kmer_off_.clear();   // start offset of each kmer in var_bytes_
+    var_kmer_len_.clear();
+    var_sig_nk_.clear();
+    var_sig_allele_.clear();
+
+    for (const auto& comb : combs_) {
+      // the rendered-tuple dedup set is per comb (blocks.py builds a
+      // fresh `aacs` set per _build_alleles_combs call)
+      aac_seen_.clear();
+      // ref gap strings between consecutive comb members
+      gaps_.clear();
+      for (size_t j = 1; j < comb.size(); ++j) {
+        const V& prev = vs_[comb[j - 1]];
+        const V& curr = vs_[comb[j]];
+        gaps_.push_back({prev.pos + prev.size, curr.pos});
+      }
+      build_aacs(comb, wpos_of, wmat_width);
+      for (const auto& aac : aacs_list_) render_aac(gv, i, comb, aac);
+    }
+
+    // group signatures per allele index in first-appearance order
+    emit_variant(gv);
+  }
+
+  // enumerate sample-consistent allele-index combinations for `comb`
+  // (blocks.py _build_alleles_combs), then render+dedup the allele byte
+  // tuples.  aacs_list_ holds per-tuple vectors of allele indices.
+  void build_aacs(const std::vector<int32_t>& comb,
+                  const std::vector<int64_t>& wpos_of, int64_t wmat_width) {
+    aacs_list_.clear();
+    idx_seen_.clear();
+    int64_t R = wmat_width ? (int64_t)wmat_.size() / wmat_width : 0;
+    size_t m = comb.size();
+    if (m == 1) {
+      int64_t p = wpos_of[comb[0]];
+      std::unordered_set<int32_t> vals;
+      for (int64_t r = 0; r < R; ++r) {
+        const int32_t* row = wmat_.data() + r * wmat_width;
+        if (haploid_) {
+          vals.insert(row[p]);
+        } else {
+          vals.insert(row[3 * p]);
+          vals.insert(row[3 * p + 1]);
+        }
+      }
+      for (int32_t a : vals) aacs_list_.push_back({a});
+      return;
+    }
+    // project wmat onto comb columns + dedup
+    std::vector<int64_t> comb_local(comb.begin(), comb.end());
+    // build a direct col map: wpos_of gives the window group index
+    sub_.clear();
+    {
+      std::vector<int32_t> row(m * stride_);
+      std::unordered_set<std::string> seen;
+      for (int64_t r = 0; r < R; ++r) {
+        const int32_t* base = wmat_.data() + r * wmat_width;
+        for (size_t j = 0; j < m; ++j) {
+          int64_t p = wpos_of[comb[j]];
+          for (int64_t s = 0; s < stride_; ++s)
+            row[j * stride_ + s] = base[p * stride_ + s];
+        }
+        std::string key((const char*)row.data(), row.size() * 4);
+        if (seen.insert(std::move(key)).second)
+          sub_.insert(sub_.end(), row.begin(), row.end());
+      }
+    }
+    int64_t rows = m ? (int64_t)sub_.size() / (m * stride_) : 0;
+    auto add_idx = [&](const int32_t* vals, int64_t stride, int64_t off) {
+      std::string key;
+      key.reserve(m * 4);
+      for (size_t j = 0; j < m; ++j)
+        key.append((const char*)&vals[j * stride + off], 4);
+      if (idx_seen_.insert(key).second) {
+        std::vector<int32_t> t(m);
+        for (size_t j = 0; j < m; ++j) t[j] = vals[j * stride + off];
+        aacs_list_.push_back(std::move(t));
+      }
+    };
+    if (haploid_) {
+      for (int64_t r = 0; r < rows; ++r) add_idx(sub_.data() + r * m, 1, 0);
+      return;
+    }
+    for (int64_t r = 0; r < rows; ++r) {
+      const int32_t* row = sub_.data() + r * 3 * m;
+      bool phased = true;
+      for (size_t j = 0; j < m; ++j)
+        if (row[3 * j + 2] == 0) { phased = false; break; }
+      if (phased) {
+        add_idx(row, 3, 0);  // a1 haplotype
+        add_idx(row, 3, 1);  // a2 haplotype
+      } else {
+        // all 2^m selections, deduplicated level by level
+        expand_.clear();
+        expand_.push_back(std::string());
+        for (size_t j = 0; j < m; ++j) {
+          int32_t x = row[3 * j], y = row[3 * j + 1];
+          next_.clear();
+          lvl_seen_.clear();
+          for (const std::string& t : expand_) {
+            if (x == y) {
+              std::string e = t;
+              e.append((const char*)&x, 4);
+              if (lvl_seen_.insert(e).second) next_.push_back(std::move(e));
+            } else {
+              for (int32_t a : {x, y}) {
+                std::string e = t;
+                e.append((const char*)&a, 4);
+                if (lvl_seen_.insert(e).second) next_.push_back(std::move(e));
+              }
+            }
+          }
+          expand_.swap(next_);
+        }
+        for (const std::string& t : expand_) {
+          if (idx_seen_.insert(t).second) {
+            std::vector<int32_t> tv(m);
+            std::memcpy(tv.data(), t.data(), m * 4);
+            aacs_list_.push_back(std::move(tv));
+          }
+        }
+      }
+    }
+  }
+
+  // render one allele-index tuple: dedup the rendered allele byte tuple,
+  // then assemble the signature k-mer string(s) (blocks.py _render_comb)
+  void render_aac(int64_t gv, int64_t i, const std::vector<int32_t>& comb,
+                  const std::vector<int32_t>& idx_tuple) {
+    size_t m = comb.size();
+    aac_views_.clear();
+    aac_key_.clear();
+    for (size_t j = 0; j < m; ++j) {
+      StrView sv = allele(v0_ + comb[j], idx_tuple[j]);
+      aac_views_.push_back(sv);
+      key_append(aac_key_, sv.p, sv.n);
+    }
+    if (!aac_seen_.insert(aac_key_).second) return;  // rendered-tuple dedup
+
+    // long-allele case: single allele >= k -> all its k-windows, one sig
+    if (m == 1 && aac_views_[0].n >= k_) {
+      const StrView& mid = aac_views_[0];
+      int64_t nwin = mid.n - k_ + 1;
+      for (int64_t p = 0; p < nwin; ++p) push_kmer(mid.p + p, k_);
+      finish_sig(gv, nwin, mid);
+      return;
+    }
+
+    kmer_buf_.clear();
+    int64_t mid_pos_in_kmer = 0;
+    StrView mid{nullptr, 0};
+    for (size_t j = 0; j < m; ++j) {
+      if (comb[j] == (int32_t)i) {
+        mid_pos_in_kmer = (int64_t)kmer_buf_.size();
+        mid = aac_views_[j];
+      }
+      kmer_buf_.append((const char*)aac_views_[j].p, (size_t)aac_views_[j].n);
+      if (j < gaps_.size()) {
+        int64_t gs = gaps_[j].first, ge = gaps_[j].second;
+        if (gs < 0) gs = 0;
+        if (ge > ref_len_) ge = ref_len_;
+        if (ge > gs) kmer_buf_.append((const char*)(ref_ + gs), (size_t)(ge - gs));
+      }
+    }
+    int64_t first_part = mid_pos_in_kmer + mid.n / 2;
+    int64_t second_part = (int64_t)kmer_buf_.size() - first_part;
+    int64_t missing_prefix = k_ / 2 - first_part;
+    int64_t missing_suffix = (k_ + 1) / 2 - second_part;
+
+    if (missing_prefix >= 0) {
+      const V& first_var = vs_[comb[0]];
+      int64_t start = first_var.pos - missing_prefix;
+      if (start < 0) start = 0;  // upstream would throw (UB edge)
+      int64_t stop = first_var.pos;
+      if (stop > ref_len_) stop = ref_len_;
+      if (stop > start)
+        kmer_buf_.insert(0, (const char*)(ref_ + start), (size_t)(stop - start));
+    } else {
+      kmer_buf_.erase(0, (size_t)(-missing_prefix));
+    }
+    if (missing_suffix >= 0) {
+      const V& last_var = vs_[comb.back()];
+      int64_t p = last_var.pos + last_var.size;
+      int64_t stop = p + missing_suffix;
+      if (p < 0) p = 0;
+      if (stop > ref_len_) stop = ref_len_;
+      if (stop > p) kmer_buf_.append((const char*)(ref_ + p), (size_t)(stop - p));
+    } else {
+      kmer_buf_.resize(kmer_buf_.size() + missing_suffix);
+    }
+    push_kmer((const uint8_t*)kmer_buf_.data(), (int64_t)kmer_buf_.size());
+    finish_sig(gv, 1, mid);
+  }
+
+  void push_kmer(const uint8_t* p, int64_t n) {
+    var_kmer_off_.push_back((int64_t)var_bytes_.size());
+    var_kmer_len_.push_back((int32_t)n);
+    var_bytes_.append((const char*)p, (size_t)n);
+  }
+
+  void finish_sig(int64_t gv, int64_t nk, const StrView& mid_allele) {
+    // allele index of the mid allele (variant.get_allele_index: REF then
+    // ALTs in order, first byte-equal match; -1 when absent)
+    int32_t idx = -1;
+    int64_t na = n_alleles(gv);
+    for (int64_t a = 0; a < na; ++a) {
+      int64_t s = al_off_[al_start_[gv] + a];
+      int64_t e = al_off_[al_start_[gv] + a + 1];
+      if (e - s == mid_allele.n &&
+          std::memcmp(al_bytes_ + s, mid_allele.p, (size_t)mid_allele.n) == 0) {
+        idx = (int32_t)a;
+        break;
+      }
+    }
+    var_sig_nk_.push_back((int32_t)nk);
+    var_sig_allele_.push_back(idx);
+  }
+
+  void emit_variant(int64_t gv) {
+    if (var_sig_nk_.empty()) return;
+    // allele buckets in first-appearance order
+    std::vector<int32_t> order;
+    for (int32_t a : var_sig_allele_) {
+      bool found = false;
+      for (int32_t b : order)
+        if (b == a) { found = true; break; }
+      if (!found) order.push_back(a);
+    }
+    int64_t kmer_at = 0;
+    std::vector<int64_t> sig_kmer_start(var_sig_nk_.size());
+    for (size_t s = 0; s < var_sig_nk_.size(); ++s) {
+      sig_kmer_start[s] = kmer_at;
+      kmer_at += var_sig_nk_[s];
+    }
+    for (int32_t a : order) {
+      int32_t nsig = 0;
+      for (size_t s = 0; s < var_sig_nk_.size(); ++s) {
+        if (var_sig_allele_[s] != a) continue;
+        ++nsig;
+        out_.sig_nk.push_back(var_sig_nk_[s]);
+        for (int64_t q = 0; q < var_sig_nk_[s]; ++q) {
+          int64_t ki = sig_kmer_start[s] + q;
+          int64_t off = var_kmer_off_[ki];
+          int32_t len = var_kmer_len_[ki];
+          out_.kmer_len.push_back(len);
+          out_.bytes.append(var_bytes_, (size_t)off, (size_t)len);
+        }
+      }
+      out_.tgt_var.push_back((int32_t)gv);
+      out_.tgt_allele.push_back(a);
+      out_.tgt_nsig.push_back(nsig);
+    }
+  }
+
+  const int64_t *pos_, *vsize_, *vmin_;
+  const uint8_t* present_;
+  const int64_t *al_start_, *al_off_;
+  const uint8_t* al_bytes_;
+  const uint64_t *gt1_, *gt2_, *ph_;
+  int64_t v0_, v1_;
+  const uint8_t* ref_;
+  int64_t ref_len_, n_ind_, k_;
+  bool haploid_;
+  BlockOut& out_;
+
+  std::vector<V> vs_;
+  std::vector<int64_t> col_of_;
+  int64_t stride_ = 3, width_ = 0;
+  std::vector<int32_t> P_, wmat_, sub_;
+  std::vector<std::vector<int32_t>> combs_;
+  std::vector<std::pair<int64_t, int64_t>> gaps_;
+  std::vector<std::vector<int32_t>> aacs_list_;
+  std::unordered_set<std::string> idx_seen_, aac_seen_, lvl_seen_;
+  std::vector<std::string> expand_, next_;
+  std::vector<StrView> aac_views_;
+  std::string aac_key_, kmer_buf_, var_bytes_;
+  std::vector<int64_t> var_kmer_off_;
+  std::vector<int32_t> var_kmer_len_, var_sig_nk_, var_sig_allele_;
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t malva_extract_group(
+    int64_t n_blocks, const int64_t* blk_off, const uint64_t* ref_ptrs,
+    const int64_t* ref_lens, const int64_t* pos, const int64_t* vsize,
+    const int64_t* vmin, const uint8_t* present, const int64_t* al_start,
+    const int64_t* al_off, const uint8_t* al_bytes, const uint64_t* gt1_ptrs,
+    const uint64_t* gt2_ptrs, const uint64_t* ph_ptrs, int64_t n_ind,
+    int64_t k, int haploid,
+    int32_t* out_tgt_var, int32_t* out_tgt_allele, int32_t* out_tgt_nsig,
+    int64_t cap_tgt, int32_t* out_sig_nk, int64_t cap_sig,
+    int32_t* out_kmer_len, int64_t cap_kmer, uint8_t* out_bytes,
+    int64_t cap_bytes, int64_t* out_counts) {
+  std::vector<BlockOut> outs(n_blocks);
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    BlockExtractor ex(pos, vsize, vmin, present, al_start, al_off, al_bytes,
+                      gt1_ptrs, gt2_ptrs, ph_ptrs, blk_off[b], blk_off[b + 1],
+                      (const uint8_t*)ref_ptrs[b], ref_lens[b], n_ind, k,
+                      haploid != 0, outs[b]);
+    ex.run();
+  }
+  int64_t n_tgt = 0, n_sig = 0, n_kmer = 0, n_bytes = 0, oob = -1;
+  for (const auto& o : outs) {
+    n_tgt += (int64_t)o.tgt_var.size();
+    n_sig += (int64_t)o.sig_nk.size();
+    n_kmer += (int64_t)o.kmer_len.size();
+    n_bytes += (int64_t)o.bytes.size();
+    if (o.oob_var >= 0 && (oob < 0 || o.oob_var < oob)) oob = o.oob_var;
+  }
+  out_counts[0] = n_tgt;
+  out_counts[1] = n_sig;
+  out_counts[2] = n_kmer;
+  out_counts[3] = n_bytes;
+  out_counts[4] = oob;
+  if (n_tgt > cap_tgt || n_sig > cap_sig || n_kmer > cap_kmer ||
+      n_bytes > cap_bytes)
+    return -1;
+  int64_t t = 0, s = 0, km = 0, by = 0;
+  for (const auto& o : outs) {
+    std::memcpy(out_tgt_var + t, o.tgt_var.data(), o.tgt_var.size() * 4);
+    std::memcpy(out_tgt_allele + t, o.tgt_allele.data(), o.tgt_allele.size() * 4);
+    std::memcpy(out_tgt_nsig + t, o.tgt_nsig.data(), o.tgt_nsig.size() * 4);
+    t += (int64_t)o.tgt_var.size();
+    std::memcpy(out_sig_nk + s, o.sig_nk.data(), o.sig_nk.size() * 4);
+    s += (int64_t)o.sig_nk.size();
+    std::memcpy(out_kmer_len + km, o.kmer_len.data(), o.kmer_len.size() * 4);
+    km += (int64_t)o.kmer_len.size();
+    std::memcpy(out_bytes + by, o.bytes.data(), o.bytes.size());
+    by += (int64_t)o.bytes.size();
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// Batched GT parse + fused htslib decode over many records (OpenMP
+// across records).  Mirrors Variant._extract_genotypes
+// (malva_tpu/variants/variant.py:93-115) composed with malva_parse_gt:
+//   a1 = max((first >> 1) - 1, 0)
+//   a2 = a1 where slot 1 is VECTOR_END (or, ploidy-1 records, where the
+//        NEXT sample's first entry is the wrap-around read upstream
+//        performs — defined here over the FULL sample set, so callers
+//        with a sample subset must use the per-record path), else
+//        max((second >> 1) - 1, 0)
+//   phase = true at VECTOR_END, else slot 1's phase bit
+// Inputs: concatenated sample regions (rec_off offsets), per-record
+// gt_at.  Outputs: (n_rec, n_samples) int32 a1/a2 + uint8 phase,
+// ok[r] = 1, or 0 when that record needs the Python path (malformed /
+// ploidy > 64).
+extern "C" void malva_parse_gt_batch(
+    const uint8_t* bytes, const int64_t* rec_off, const int64_t* gt_at,
+    int64_t n_rec, int64_t n_samples, int32_t* a1, int32_t* a2, uint8_t* ph,
+    uint8_t* ok) {
+  const int32_t kVectorEnd = (int32_t)0x80000000;
+#pragma omp parallel
+  {
+    std::vector<int32_t> enc;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t r = 0; r < n_rec; ++r) {
+      int64_t mp = -1;
+      for (int64_t cap = 8; cap <= 64; cap <<= 3) {
+        enc.resize((size_t)(n_samples * cap));
+        mp = malva_parse_gt(bytes + rec_off[r], rec_off[r + 1] - rec_off[r],
+                            n_samples, gt_at[r], enc.data(), cap);
+        if (mp >= 0) {
+          if (mp > 0 && mp <= cap) {
+            int32_t* ra1 = a1 + r * n_samples;
+            int32_t* ra2 = a2 + r * n_samples;
+            uint8_t* rp = ph + r * n_samples;
+            for (int64_t s = 0; s < n_samples; ++s) {
+              int32_t first = enc[s * cap];
+              int32_t second;
+              if (mp >= 2) {
+                second = enc[s * cap + 1];
+              } else {
+                // upstream reads slot base+1 = next sample's first entry;
+                // the final sample's read is out of bounds there, defined
+                // as VECTOR_END here (variant.py:104-108)
+                second = (s + 1 < n_samples) ? enc[(s + 1) * cap] : kVectorEnd;
+              }
+              int32_t v1 = (first >> 1) - 1;
+              ra1[s] = v1 > 0 ? v1 : 0;
+              if (second == kVectorEnd) {
+                ra2[s] = ra1[s];
+                rp[s] = 1;
+              } else {
+                int32_t v2 = (second >> 1) - 1;
+                ra2[s] = v2 > 0 ? v2 : 0;
+                rp[s] = (uint8_t)(second & 1);
+              }
+            }
+            ok[r] = 1;
+          } else {
+            ok[r] = 0;  // mp == 0 (no samples): Python path decides
+          }
+          break;
+        }
+        ok[r] = 0;
+      }
+    }
+  }
+}
