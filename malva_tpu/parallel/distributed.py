@@ -1,21 +1,29 @@
 """Multi-host orchestration (jax.distributed).
 
-Maps the pipeline onto a multi-host pod slice (BASELINE.json north_star):
+Maps the pipeline onto a multi-process/multi-host cluster (BASELINE.json
+north_star):
 
 * every host reads its own shard of the read files (``host_shard``),
-* counts its shard's k-mers WITHOUT the ci/cs threshold (thresholding is
-  non-linear and must happen after the global merge),
-* the per-host distinct-count stores are exchanged with
-  ``multihost_utils.process_allgather`` and merged identically on every
-  host (deterministic: sorted merge), then ci/cs are applied globally,
-* the query/update phase runs on each host's devices over the global
-  mesh via parallel.sharded_index.
+* each host counts its shard through the BOUNDED-MEMORY spill counter
+  (count.spill — disk-backed, resumable, kmc -m4 parity) WITHOUT the
+  ci/cs threshold (thresholding is non-linear and must happen after the
+  global merge),
+* distinct (key, count) runs are exchanged in lockstep rounds with
+  per-HOST hash-range ownership: each batch is partitioned by owner and
+  only the owner MERGES (and keeps) its slice, so per-host resident state
+  is O(global_distinct / n_hosts) plus one transient exchange buffer —
+  never the full distinct set (the pre-round-4 design allgathered every
+  host's full store to every host),
+* ci/cs apply after the merge on the owner; each host then applies its
+  owned k-mers to zero-initialized counter planes, and the planes merge
+  with one global sum (counter adds are commutative, mod-2^32 exact),
+* rank 0 runs the genotyping pass and emits the VCF.
 
-Single-host degenerates to the plain pipeline; multi-host requires
-``jax.distributed.initialize()`` before first jax use (standard envs:
-coordinator address + process id/count).  There is no multi-host hardware
-in this environment — the logic below keeps the host-count dimension
-fully general and is exercised at host_count=1 in tests.
+Exercised for real with ``process_count > 1``: tests/test_distributed.py
+spawns local CPU processes with a 127.0.0.1 coordinator (Gloo
+collectives) and requires the multi-process VCF byte-identical to the
+single-process output.  The same entry points drive real multi-host TPU
+pods (coordinator + process ids from the scheduler).
 """
 
 from __future__ import annotations
@@ -24,8 +32,8 @@ import sys
 
 import numpy as np
 
-from ..count.counter import _merge_runs, count_reads_kmers
-from ..ops.seq import unpack_2bit
+from ..count.counter import _merge_runs
+from ..count.spill import _bucket_of
 from ..utils.config import Config
 
 
@@ -52,52 +60,183 @@ def host_shard(paths: list[str]) -> list[str]:
     return [p for i, p in enumerate(paths) if i % n == pid]
 
 
+def _allgather_runs(keys: np.ndarray, cnts: np.ndarray, w: int):
+    """Exchange one (possibly empty) sorted run with every process.
+    Returns per-process (keys, cnts) lists.  Rows pad to the max length
+    across processes (allgather needs one static shape), and 64-bit
+    payloads travel as uint32 lanes — under JAX's default 32-bit mode
+    process_allgather silently DOWNCASTS uint64/int64 arrays, truncating
+    packed k-mer words (measured, not hypothetical)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    H = jax.process_count()
+    n_local = np.array([keys.shape[0]], dtype=np.int32)
+    all_n = np.asarray(multihost_utils.process_allgather(n_local)).reshape(-1)
+    m = int(all_n.max())
+    if m == 0:
+        empty = np.zeros((0, w), np.uint64), np.zeros(0, np.int64)
+        return [empty] * H
+    kp = np.zeros((m, w), dtype=np.uint64)
+    cp = np.zeros(m, dtype=np.int64)
+    kp[: keys.shape[0]] = keys
+    cp[: cnts.shape[0]] = cnts
+    all_k32 = np.asarray(
+        multihost_utils.process_allgather(kp.view(np.uint32))
+    )  # (H, m, 2w)
+    all_c32 = np.asarray(
+        multihost_utils.process_allgather(cp.view(np.uint32).reshape(m, 2))
+    )
+    out = []
+    for h in range(H):
+        nh = int(all_n[h])
+        kk = np.ascontiguousarray(all_k32[h, :nh]).view(np.uint64)
+        cc = np.ascontiguousarray(all_c32[h, :nh]).view(np.int64).reshape(-1)
+        out.append((kk, cc))
+    return out
+
+
+def _tree_merge(runs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Pairwise tree merge of sorted distinct (keys, counts) runs."""
+    if not runs:
+        raise ValueError("no runs")
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            ka, ca = runs[i]
+            kb, cb = runs[i + 1]
+            nxt.append(_merge_runs(ka, ca, kb, cb))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    return runs[0]
+
+
+# Ownership hash width: ranges are assigned from the spill bucket hash so
+# keys within one range share no lexicographic structure (canonical
+# k-mers are non-uniform in their prefix — see count.spill._bucket_of).
+_OWNER_RANGES = 1024
+
+
 def count_distributed(
-    reads_paths: list[str], cfg: Config, ci: int = 2, cs: int = 255
+    reads_paths: list[str], cfg: Config, ci: int = 2, cs: int = 255,
+    spill_dir: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Count k-mers across hosts; every host returns the identical global
-    (contexts, counts) with ci/cs applied after the merge."""
+    """Count k-mers across processes with hash-range ownership.
+
+    Returns THIS process's owned slice of the global distinct set as
+    (keys_packed_u64, counts_u32) with ci/cs applied — the union over
+    processes is exactly the single-process counter's output.  Per-host
+    resident memory is O(distinct / n_hosts) + one exchange buffer;
+    counting itself is disk-spilled when ``spill_dir`` is given."""
     import jax
 
-    # local raw counts (ci=1, no cap — thresholds are global)
-    local_keys = np.zeros((0, (cfg.ref_k + 31) // 32), dtype=np.uint64)
-    local_cnts = np.zeros(0, dtype=np.int64)
-    for path in host_shard(reads_paths):
-        k_arr, c_arr = count_reads_kmers(path, cfg.ref_k, ci=1, cs=1 << 62)
-        from ..ops.seq import pack_2bit
+    H = jax.process_count()
+    pid = jax.process_index()
 
-        packed = pack_2bit(k_arr)
-        order = np.lexsort(tuple(packed[:, w] for w in range(packed.shape[1] - 1, -1, -1)))
-        local_keys, local_cnts = _merge_runs(
-            local_keys, local_cnts, packed[order], c_arr.astype(np.int64)[order]
+    def local_batches():
+        # local raw counts: ci=1, no cap — thresholds are global
+        if spill_dir is not None:
+            from ..count.spill import count_reads_kmers_spill
+
+            for path_i, path in enumerate(host_shard(reads_paths)):
+                yield from count_reads_kmers_spill(
+                    path, cfg.ref_k, f"{spill_dir}/h{pid}_{path_i}",
+                    ci=1, cs=1 << 62,
+                )
+        else:
+            from ..count.counter import count_reads_kmers
+
+            for path in host_shard(reads_paths):
+                k_arr, c_arr = count_reads_kmers(
+                    path, cfg.ref_k, ci=1, cs=1 << 62, return_packed=True
+                )
+                yield k_arr, c_arr
+
+    w = (cfg.ref_k + 31) // 32
+    my_runs: list = []
+    it = iter(local_batches())
+    from jax.experimental import multihost_utils
+
+    while True:
+        batch = next(it, None)
+        have = np.array([0 if batch is None else 1], dtype=np.int64)
+        any_have = int(
+            np.asarray(multihost_utils.process_allgather(have)).sum()
         )
+        if any_have == 0:
+            break
+        if batch is None:
+            keys = np.zeros((0, w), np.uint64)
+            cnts = np.zeros(0, np.int64)
+        else:
+            keys = np.ascontiguousarray(batch[0], dtype=np.uint64)
+            cnts = np.asarray(batch[1], dtype=np.int64)
+        owner = _bucket_of(keys, _OWNER_RANGES) % H if keys.shape[0] else \
+            np.zeros(0, np.int64)
+        # per-owner lockstep exchange; only the owner keeps its slice
+        for h in range(H):
+            sel = owner == h
+            per_proc = _allgather_runs(keys[sel], cnts[sel], w)
+            if pid == h:
+                for kk, cc in per_proc:
+                    if kk.shape[0]:
+                        my_runs.append((kk, cc))
 
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        # pad to the max length across hosts, allgather, then merge
-        n_local = np.array([local_keys.shape[0]])
-        all_n = multihost_utils.process_allgather(n_local).reshape(-1)
-        m = int(all_n.max())
-        kp = np.zeros((m, local_keys.shape[1]), dtype=np.uint64)
-        cp = np.zeros(m, dtype=np.int64)
-        kp[: local_keys.shape[0]] = local_keys
-        cp[: local_cnts.shape[0]] = local_cnts
-        all_k = multihost_utils.process_allgather(kp)
-        all_c = multihost_utils.process_allgather(cp)
-        merged_k = np.zeros((0, local_keys.shape[1]), dtype=np.uint64)
-        merged_c = np.zeros(0, dtype=np.int64)
-        for h in range(all_k.shape[0]):
-            nh = int(all_n[h])
-            merged_k, merged_c = _merge_runs(merged_k, merged_c, all_k[h, :nh], all_c[h, :nh])
-        local_keys, local_cnts = merged_k, merged_c
-
-    keep = local_cnts >= ci
-    contexts = unpack_2bit(local_keys[keep], cfg.ref_k)
-    counts = np.minimum(local_cnts[keep], cs).astype(np.uint32)
+    if not my_runs:
+        keys = np.zeros((0, w), np.uint64)
+        counts = np.zeros(0, np.int64)
+    else:
+        keys, counts = _tree_merge(my_runs)
+    keep = counts >= ci
+    keys = keys[keep]
+    counts = np.minimum(counts[keep], cs).astype(np.uint32)
     print(
-        f"[malva-tpu/dist] {jax.process_count()} host(s), "
-        f"{contexts.shape[0]} distinct k-mers past ci={ci}",
+        f"[malva-tpu/dist] host {pid}/{H}: owns {keys.shape[0]} distinct "
+        f"k-mers past ci={ci}",
         file=sys.stderr,
     )
-    return contexts, counts
+    return keys, counts
+
+
+def call_distributed(cfg: Config, index, reads_paths: list[str], out,
+                     spill_dir: str | None = None) -> None:
+    """Full multi-process call phase (reference main.cpp:421-594 over a
+    process cluster): shard-count + ranged exchange, per-host counter
+    application on its owned k-mers, one global counter merge, VCF
+    emission on rank 0 (``out`` is only written there)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..io.fasta import load_reference
+    from ..pipeline import _genotype_and_emit, apply_sample_counts
+    from ..utils.timing import PhaseTimer
+
+    keys, counts = count_distributed(
+        reads_paths, cfg, spill_dir=spill_dir
+    )
+    # zero-initialized planes: each host adds only its owned k-mers
+    index.bf.counts[:] = 0
+    for k in index.ref_bf.kmers:
+        index.ref_bf.kmers[k] = 0
+    if keys.shape[0]:
+        apply_sample_counts(index, keys, counts, cfg)
+
+    # global merge: counter adds commute, so summing the per-host planes
+    # equals the sequential single-process application (mod-2^32 exact;
+    # the 16-bit BF wrap applies at read time, after the sum — same as
+    # sequential adds into one uint32 plane)
+    bf_sum = np.asarray(
+        multihost_utils.process_allgather(index.bf.counts)
+    ).astype(np.uint64).sum(axis=0).astype(np.uint32)
+    index.bf.counts = bf_sum
+    vals = index.ref_bf.snapshot_values()
+    vals_sum = np.asarray(
+        multihost_utils.process_allgather(vals)
+    ).astype(np.uint64).sum(axis=0).astype(np.uint32)
+    for k, v in zip(list(index.ref_bf.kmers.keys()), vals_sum.tolist()):
+        index.ref_bf.kmers[k] = v
+
+    if jax.process_index() == 0:
+        refs = load_reference(cfg.fasta_path, cfg.strip_chr)
+        _genotype_and_emit(cfg, index, refs, out, PhaseTimer())

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Multi-process pipeline driver (jax.distributed).
+
+One OS process per "host": pass the same coordinator to every process,
+plus its process id.  Works over local CPU processes (Gloo collectives,
+tests/test_distributed.py) and, unchanged, over real multi-host pods
+(coordinator + ids from the scheduler).  Rank 0 writes the VCF.
+
+  python tools/run_distributed.py --num-processes 2 --process-id 0 \
+      --out /tmp/out.vcf -1 -b 1 -f AF ref.fa vars.vcf reads0.fq reads1.fq
+"""
+
+import argparse
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default="127.0.0.1:19765")
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--spill-dir", default=None)
+    ap.add_argument("-1", dest="haploid", action="store_true")
+    ap.add_argument("-k", type=int, default=35)
+    ap.add_argument("-r", type=int, default=43)
+    ap.add_argument("-b", type=int, default=1)
+    ap.add_argument("-f", dest="freq_key", default="AF")
+    ap.add_argument("reference")
+    ap.add_argument("variants")
+    ap.add_argument("reads", nargs="+")
+    a = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from malva_tpu.parallel.distributed import call_distributed, initialize
+    from malva_tpu.pipeline import build_index
+    from malva_tpu.utils.config import Config
+
+    initialize(a.coordinator, a.num_processes, a.process_id)
+
+    cfg = Config(
+        fasta_path=a.reference,
+        vcf_path=a.variants,
+        sample_path=a.reads[0],
+        k=a.k,
+        ref_k=a.r,
+        error_rate=np.float32(0.001),
+        bf_size=Config.bf_gb_to_bits(a.b),
+        freq_key=a.freq_key,
+        haploid=a.haploid,
+    )
+    # the index phase is deterministic: every process builds the same one
+    index = build_index(cfg)
+    if jax.process_index() == 0:
+        out = open(a.out, "w")
+    else:
+        out = io.StringIO()
+    call_distributed(cfg, index, a.reads, out, spill_dir=a.spill_dir)
+    if jax.process_index() == 0:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
