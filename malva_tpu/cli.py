@@ -85,6 +85,24 @@ def _config(args: argparse.Namespace) -> Config:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Dispatch + the reference's one-line `ERROR:` exit contract for bad
+    inputs (main.cpp:262-281): truncated/corrupt index files, malformed
+    VCF/FASTQ, unsupported KMC databases and missing paths print a single
+    stderr line and exit 1 — never a traceback.  Genuine bugs still
+    traceback."""
+    import gzip
+    import struct
+    import zipfile
+
+    try:
+        return _main(argv)
+    except (ValueError, OSError, KeyError, EOFError, struct.error,
+            zipfile.BadZipFile, gzip.BadGzipFile, UnicodeDecodeError) as e:
+        print(f"ERROR: {e}", file=sys.stderr)  # reference: main.cpp:269-277
+        return 1
+
+
+def _main(argv: list[str] | None = None) -> int:
     args = _parser("malva-tpu").parse_args(argv)
     cfg = _config(args)
     timer = PhaseTimer()

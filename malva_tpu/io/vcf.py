@@ -280,6 +280,15 @@ class VcfReader:
             if not line:
                 continue
             cols = line.split(b"\t", 9)
+            if len(cols) < 8:
+                # htslib rejects records with fewer than the 8 fixed
+                # columns ("Few fields"); a mid-record file truncation
+                # lands here
+                raise ValueError(
+                    f"{self.path}: malformed/truncated VCF record "
+                    f"({len(cols)} of 8 required columns): "
+                    f"{line[:60].decode('utf-8', 'replace')!r}"
+                )
             head = [c.decode("utf-8", "replace") for c in cols[:9]]
             yield VcfRecord(
                 chrom=head[0],

@@ -481,7 +481,21 @@ def _write_npz_mixed(path: str, arrays: dict, stored: set) -> None:
 
 
 def load_index(path: str) -> Index:
-    raw = dict(np.load(path))
+    import zipfile
+
+    try:
+        raw = dict(np.load(path))
+        return _index_from_raw(raw)
+    except (zipfile.BadZipFile, KeyError, ValueError, EOFError, OSError) as e:
+        if isinstance(e, FileNotFoundError):
+            raise
+        raise ValueError(
+            f"{path}: not a valid malva index (truncated or corrupt: {e}); "
+            f"re-run `malva-tpu index`"
+        ) from e
+
+
+def _index_from_raw(raw: dict) -> Index:
     st = {}
     for k, v in raw.items():
         if k.endswith("_words_nz"):
