@@ -107,8 +107,11 @@ def test_count_distributed_single_host_matches_plain(tmp_path):
             f.write(b">r%d\n%s\n" % (i, base[s : s + 80]))
     cfg = Config(ref_k=13)
     plain_k, plain_c = count_reads_kmers(str(fq), 13)
+    # single process owns every hash range; keys come back 2-bit packed
     dist_k, dist_c = count_distributed([str(fq)], cfg)
-    np.testing.assert_array_equal(dist_k, plain_k)
+    from malva_tpu.ops.seq import unpack_2bit
+
+    np.testing.assert_array_equal(unpack_2bit(dist_k, 13), plain_k)
     np.testing.assert_array_equal(dist_c, plain_c)
 
 
