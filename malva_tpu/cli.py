@@ -103,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _main(argv: list[str] | None = None) -> int:
+    from .utils.native import tune_malloc
+
+    tune_malloc()  # GiB-buffer page reuse (see utils.native.tune_malloc)
     args = _parser("malva-tpu").parse_args(argv)
     cfg = _config(args)
     timer = PhaseTimer()

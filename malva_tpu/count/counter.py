@@ -171,7 +171,7 @@ def count_reads_kmers(
     ref_k: int,
     ci: int = 2,
     cs: int = 255,
-    chunk_kmers: int = 1 << 24,
+    chunk_kmers: int = 1 << 25,
     log=sys.stderr,
     checkpoint: str | None = None,
     checkpoint_every_batches: int = 8,
@@ -236,12 +236,15 @@ def count_reads_kmers(
             from ..utils import native
 
             # fused native path: raw read bytes -> packed canonical keys
-            # (no (windows, k) byte matrix ever materializes)
+            # (no (windows, k) byte matrix ever materializes); the packed
+            # buffer is disposable, so the sort consumes it in place and
+            # the run views die at the merge — no working/output copies
             packed = native.read_kmers(pending, ref_k)
             pending = []
             pending_n = 0
             total_windows += packed.shape[0]
-            keys, cnts = _sorted_counts(packed)
+            out = native.sort_count_inplace(packed)
+            keys, cnts = out if out is not None else _sorted_counts(packed)
             acc_keys, acc_cnts = _merge_runs(acc_keys, acc_cnts, keys, cnts)
             return
         block = np.concatenate(pending, axis=0)

@@ -74,7 +74,73 @@ def load_reference(path: str, strip_chr: bool = False) -> dict[str, np.ndarray]:
 
 
 def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[bytes]]:
-    """Yield lists of read sequences totalling ~batch_bases each."""
+    """Yield lists of read sequences totalling ~batch_bases each.
+
+    Strict 4-line FASTQ (the dominant read format) takes a bulk path:
+    chunks split once at newlines and sequence lines are every 4th
+    element — no per-line Python.  Each chunk validates the 4-line phase
+    ('@' headers, '+' separators); a violation before anything was
+    yielded (multi-line FASTQ, '@'-quirk FASTA) restarts cleanly with
+    the kseq-style parser, one after a yield means the stream switched
+    format mid-file — corrupt input, reported via the one-line ERROR
+    contract."""
+    f = _open(path)
+    head = f.read(1)
+    if head != b"@":
+        f.close()
+        yield from _iter_read_batches_slow(path, batch_bases)
+        return
+    batch: list[bytes] = []
+    total = 0
+    carry = b"@"
+    phase = 0  # next unconsumed line's position mod 4
+    yielded = False
+    with f:
+        while True:
+            chunk = f.read(1 << 25)
+            if not chunk:
+                break
+            lines = (carry + chunk).split(b"\n")
+            carry = lines.pop()
+            if not lines:
+                continue
+            n = len(lines)
+            ok = True
+            for i in range((0 - phase) % 4, n, 4):  # header lines
+                if not lines[i].startswith(b"@"):
+                    ok = False
+                    break
+            if ok:
+                for i in range((2 - phase) % 4, n, 4):  # '+' lines
+                    if not lines[i].startswith(b"+"):
+                        ok = False
+                        break
+            if not ok:
+                if not yielded:
+                    f.close()
+                    yield from _iter_read_batches_slow(path, batch_bases)
+                    return
+                raise ValueError(
+                    f"{path}: malformed FASTQ record mid-file (4-line "
+                    f"structure violated)"
+                )
+            seqs = lines[(1 - phase) % 4 :: 4]
+            for s in seqs:
+                batch.append(s.rstrip(b"\r"))
+            total += sum(len(s) for s in seqs)
+            phase = (phase + n) % 4
+            if total >= batch_bases:
+                yield batch
+                yielded = True
+                batch = []
+                total = 0
+        if carry and phase == 1:  # trailing sequence line without newline
+            batch.append(carry.rstrip(b"\r"))
+    if batch:
+        yield batch
+
+
+def _iter_read_batches_slow(path: str, batch_bases: int) -> Iterator[list[bytes]]:
     batch: list[bytes] = []
     total = 0
     for _name, seq in iter_sequences(path):

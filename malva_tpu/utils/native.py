@@ -725,3 +725,48 @@ def parse_gt_batch(regions: list, gt_ats: list, n_samples: int):
         ph.ctypes.data_as(_U8P), ok.ctypes.data_as(_U8P),
     )
     return a1, a2, ph, ok.astype(bool)
+
+
+def sort_count_inplace(keys: np.ndarray):
+    """sort_count variant that CONSUMES its input: (n, 2) uint64 rows are
+    sorted in place (no working copy) and the result is returned as
+    VIEWS into the caller's buffer — only valid until the caller drops
+    or reuses it.  None when unavailable or the layout doesn't fit."""
+    lib = load()
+    if (lib is None or keys.ndim != 2 or keys.shape[1] != 2
+            or keys.dtype != np.uint64 or not keys.flags.c_contiguous
+            or not keys.flags.writeable):
+        return None
+    n = keys.shape[0]
+    if n == 0:
+        return keys, np.zeros(0, dtype=np.int64)
+    cnts = np.empty(n, dtype=np.int64)
+    u = lib.malva_sort_count(keys.ctypes.data_as(_U64P), n,
+                             cnts.ctypes.data_as(_I64P))
+    return keys[:u], cnts[:u]
+
+
+_MALLOC_TUNED = False
+
+
+def tune_malloc(threshold: int = (1 << 30) + 1) -> bool:
+    """Raise glibc's M_MMAP_THRESHOLD so GiB-scale transient buffers
+    (Bloom rank, counter planes, sort scratch) ride the brk heap and
+    REUSE pages across alloc/free cycles.  Default glibc mmaps them,
+    returning pages to the kernel on free — every fresh allocation then
+    pays first-touch zero-page faults at ~0.4 GB/s on this VM class
+    (measured: 6.4 s to touch a 1 GiB rank array; 0.15 s with reuse).
+    Trade-off: freed heap pages keep RSS at the high-water mark, so this
+    is opt-in from process entry points (CLI, drivers), not library
+    import."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        ok = bool(libc.mallopt(M_MMAP_THRESHOLD, threshold))
+        _MALLOC_TUNED = ok
+        return ok
+    except Exception:  # pragma: no cover - non-glibc platforms
+        return False
