@@ -96,36 +96,61 @@ class DeviceIndex:
 
     @classmethod
     def from_host(cls, index, cfg: Config) -> "DeviceIndex":
+        """Build the device-resident index with a SPARSE upload: only the
+        nonzero Bloom/context words (and mini-filter words) cross
+        host->device; the dense word arrays, the popcount rank, and the
+        word+rank interleave are all computed ON DEVICE.  At any
+        realistic fill this cuts the transfer from the full 3 GiB (-b 1)
+        to ~12 B per nonzero word — the 534 s chr-scale axon-tunnel run
+        spent 186.8 s on this upload alone (BASELINE.md round 3)."""
         import jax.numpy as jnp
 
         from .kmap_table import BucketTable
         from ..ops.xxh3 import xxh3_64
 
         assert index.bf.mode, "switch_mode must have run"
-        rank = index.bf.rank
-        assert int(rank[-1]) < (1 << 32)
-        packed = np.stack([index.bf.words, rank.astype(np.uint32)], axis=1)
+        words = index.bf.words
+        W = words.shape[0]
+        n_counts = len(index.bf.counts)
+        assert n_counts < (1 << 32)
 
         table = BucketTable(device_map_keys(index, cfg), cfg.k)
         table.set_vals_from(index.ref_bf.kmers)
 
-        minifilter = int(rank[-1]) < (1 << RANK_BITS)
+        minifilter = n_counts < (1 << RANK_BITS)
+        mf_nz = np.zeros(0, dtype=np.int32)
+        mf_val = np.zeros(0, dtype=np.uint32)
         if minifilter:
-            mf = np.zeros(packed.shape[0], dtype=np.uint32)
             keys = [kb for kb in table.slot_keys if kb is not None]
             if keys:
+                mf = np.zeros(W, dtype=np.uint32)
                 arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, cfg.k)
                 h = xxh3_64(arr)
                 idx = h % np.uint64(cfg.bf_size)
                 word = (idx >> np.uint64(5)).astype(np.int64)
                 slot = _minifilter_slot_np(h)
                 np.bitwise_or.at(mf, word, np.uint32(1) << slot)
-            packed[:, 1] |= mf << np.uint32(RANK_BITS)
+                mf_nz = np.flatnonzero(mf).astype(np.int32)
+                mf_val = mf[mf_nz]
+
+        w_nz = np.flatnonzero(words).astype(np.int32)
+        c_nz = np.flatnonzero(index.context_bf.words).astype(np.int32)
+        densify = _make_densify(W, RANK_BITS)
+        bf_packed, ctx_words = densify(
+            jnp.asarray(w_nz), jnp.asarray(words[w_nz]),
+            jnp.asarray(mf_nz), jnp.asarray(mf_val),
+            jnp.asarray(c_nz), jnp.asarray(index.context_bf.words[c_nz]),
+        )
+        counts = index.bf.counts
+        if counts.any():
+            bf_counts = jnp.asarray(counts)
+        else:  # pre-call counters are all zero: create on device
+            bf_counts = jnp.zeros(n_counts, dtype=jnp.uint32)
 
         return cls(
-            bf_packed=jnp.asarray(packed),
-            bf_counts=jnp.asarray(index.bf.counts),
-            ctx_words=jnp.asarray(index.context_bf.words),
+            bf_packed=bf_packed,
+            bf_counts=bf_counts,
+            ctx_words=ctx_words,
             kmap_keys=jnp.asarray(table.bucket_keys),
             kmap_vals=jnp.asarray(table.vals),
             size_bits=cfg.bf_size,
@@ -142,6 +167,28 @@ class DeviceIndex:
         # the host counters must stay writable (batch mode zeroes them)
         index.bf.counts = np.array(self.bf_counts)
         self.table.write_back(np.asarray(self.kmap_vals), index.ref_bf.kmers)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_densify(W: int, rank_bits: int):
+    """Device-side densify of the sparse index upload: scatter nonzero
+    Bloom/context words, build the exclusive popcount rank (u32 cumsum —
+    total set bits < 2^32 by BF's switch_mode contract), OR the
+    mini-filter words into the rank's top bits, and interleave
+    [word, rank] — everything the host used to upload dense."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(w_idx, w_val, m_idx, m_val, c_idx, c_val):
+        words = jnp.zeros(W, jnp.uint32).at[w_idx].set(w_val)
+        pc = jax.lax.population_count(words)
+        rank = jnp.cumsum(pc, dtype=jnp.uint32) - pc  # exclusive
+        aux = rank.at[m_idx].add(m_val << jnp.uint32(rank_bits))
+        bf_packed = jnp.stack([words, aux], axis=1)
+        ctx_words = jnp.zeros(W, jnp.uint32).at[c_idx].set(c_val)
+        return bf_packed, ctx_words
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)

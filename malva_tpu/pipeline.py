@@ -63,8 +63,18 @@ def _resolve_backend(cfg: Config, work: int | None = None, floor: int = 0) -> st
             cfg.bf_size & (cfg.bf_size - 1) == 0 and 32 <= cfg.bf_size <= (1 << 32)
         )
         return "device" if ok_size else "host"
-    except Exception:
+    except Exception as e:
+        global _warned_backend_fallback
+        if not _warned_backend_fallback:
+            _warned_backend_fallback = True
+            print(
+                f"[malva-tpu] backend auto: accelerator unavailable "
+                f"({type(e).__name__}); using host", file=sys.stderr,
+            )
         return "host"
+
+
+_warned_backend_fallback = False
 
 
 # Extraction batch size (variants per native extract_group call): blocks
