@@ -662,9 +662,14 @@ class ShardedCallSession:
         self._fill = 0
 
     def _run(self, chunk, cnts):
+        # fresh copies: the CPU backend aliases numpy inputs zero-copy
+        # and dispatch is async, so refilling the reused staging buffer
+        # for the next chunk would race the in-flight step (measured:
+        # multi-chunk all_gather parity broke without this)
         self.bf_counts, self.kmap_vals = self.step(
             self.state.bf_packed, self.bf_counts, self.state.ctx_words,
-            self.state.kmap_keys, self.kmap_vals, chunk, cnts,
+            self.state.kmap_keys, self.kmap_vals, np.array(chunk),
+            np.array(cnts),
         )
 
     def apply(self, contexts: np.ndarray, counters: np.ndarray) -> None:
