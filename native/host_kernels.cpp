@@ -1010,7 +1010,45 @@ class BlockExtractor {
 
   void run() {
     build_profiles();
-    for (int64_t i = 0; i < (int64_t)vs_.size(); ++i) extract_variant(i);
+    // two-level window dedup (mirrors blocks.py extract_kmers CHUNK=64):
+    // project the block profile matrix once per CHUNK of consecutive
+    // variants onto the union of their combinations' columns, then per
+    // variant from that much smaller matrix — without this, cohort-scale
+    // blocks (30k samples, thousands of near variants) pay a full
+    // profile-matrix scan per variant.
+    const int64_t CHUNK = 64;
+    int64_t n = (int64_t)vs_.size();
+    std::vector<int64_t> members;
+    std::vector<std::vector<std::vector<int32_t>>> combs_of;
+    std::vector<int64_t> cwin, cpos(n, -1);
+    std::vector<char> in(n, 0);
+    for (int64_t base = 0; base < n; base += CHUNK) {
+      int64_t hi = std::min(n, base + CHUNK);
+      members.clear();
+      combs_of.clear();
+      for (int64_t i = base; i < hi; ++i) {
+        const V& v = vs_[i];
+        if (!v.present || v.pos < k_ || v.pos > ref_len_ - k_) continue;
+        members.push_back(i);
+        combs_of.emplace_back();
+        build_combs(i, combs_of.back());
+      }
+      if (members.empty()) continue;
+      std::fill(in.begin(), in.end(), 0);
+      for (const auto& cs : combs_of)
+        for (const auto& c : cs)
+          for (int32_t j : c) in[j] = 1;
+      cwin.clear();
+      for (int64_t j = 0; j < n; ++j)
+        if (in[j]) cwin.push_back(j);
+      cmat_.clear();
+      project_dedup(P_, width_, col_of_, cwin, cmat_);
+      std::fill(cpos.begin(), cpos.end(), -1);
+      for (size_t w = 0; w < cwin.size(); ++w) cpos[cwin[w]] = (int64_t)w;
+      int64_t cmat_width = (int64_t)cwin.size() * stride_;
+      for (size_t m = 0; m < members.size(); ++m)
+        extract_variant(members[m], combs_of[m], cmat_, cmat_width, cpos);
+    }
   }
 
  private:
@@ -1097,46 +1135,46 @@ class BlockExtractor {
     }
   }
 
-  void extract_variant(int64_t i) {
-    int64_t gv = v0_ + i;
-    const V& v = vs_[i];
-    if (!v.present || v.pos < k_ || v.pos > ref_len_ - k_) return;
-
-    combs_.clear();
-    {
-      std::vector<std::vector<int32_t>> right, left;
-      grow(vs_, i, k_, +1, right);
-      grow(vs_, i, k_, -1, left);
-      if (left.empty() && right.empty()) {
-        combs_.push_back({(int32_t)i});
-      } else if (left.empty()) {
-        for (const auto& rc : right) {
-          std::vector<int32_t> c{(int32_t)i};
-          c.insert(c.end(), rc.begin(), rc.end());
-          combs_.push_back(std::move(c));
-        }
-      } else {
-        for (const auto& lc : left) {
-          std::vector<int32_t> base(lc.rbegin(), lc.rend());
-          base.push_back((int32_t)i);
-          if (right.empty()) {
-            combs_.push_back(base);
-          } else {
-            for (const auto& rc : right) {
-              std::vector<int32_t> c = base;
-              c.insert(c.end(), rc.begin(), rc.end());
-              combs_.push_back(std::move(c));
-            }
+  void build_combs(int64_t i, std::vector<std::vector<int32_t>>& combs) {
+    std::vector<std::vector<int32_t>> right, left;
+    grow(vs_, i, k_, +1, right);
+    grow(vs_, i, k_, -1, left);
+    if (left.empty() && right.empty()) {
+      combs.push_back({(int32_t)i});
+    } else if (left.empty()) {
+      for (const auto& rc : right) {
+        std::vector<int32_t> c{(int32_t)i};
+        c.insert(c.end(), rc.begin(), rc.end());
+        combs.push_back(std::move(c));
+      }
+    } else {
+      for (const auto& lc : left) {
+        std::vector<int32_t> base(lc.rbegin(), lc.rend());
+        base.push_back((int32_t)i);
+        if (right.empty()) {
+          combs.push_back(base);
+        } else {
+          for (const auto& rc : right) {
+            std::vector<int32_t> c = base;
+            c.insert(c.end(), rc.begin(), rc.end());
+            combs.push_back(std::move(c));
           }
         }
       }
     }
+  }
 
-    // window = sorted union of comb members; project block profiles
+  void extract_variant(int64_t i,
+                       const std::vector<std::vector<int32_t>>& combs,
+                       const std::vector<int32_t>& src, int64_t src_width,
+                       const std::vector<int64_t>& src_pos) {
+    int64_t gv = v0_ + i;
+
+    // window = sorted union of comb members; project the CHUNK matrix
     std::vector<int64_t> window;
     {
       std::vector<char> in(vs_.size(), 0);
-      for (const auto& c : combs_)
+      for (const auto& c : combs)
         for (int32_t j : c) in[j] = 1;
       for (int64_t j = 0; j < (int64_t)vs_.size(); ++j)
         if (in[j]) window.push_back(j);
@@ -1144,10 +1182,8 @@ class BlockExtractor {
     std::vector<int64_t> wpos_of(vs_.size(), -1);
     for (int64_t w = 0; w < (int64_t)window.size(); ++w)
       wpos_of[window[w]] = w;
-    std::vector<int64_t> colmap(vs_.size(), -1);
-    for (int64_t j = 0; j < (int64_t)vs_.size(); ++j) colmap[j] = col_of_[j];
     wmat_.clear();
-    project_dedup(P_, width_, colmap, window, wmat_);
+    project_dedup(src, src_width, src_pos, window, wmat_);
     int64_t wmat_width = (int64_t)window.size() * stride_;
 
     // temp per-variant signature store, grouped per allele at the end
@@ -1157,7 +1193,7 @@ class BlockExtractor {
     var_sig_nk_.clear();
     var_sig_allele_.clear();
 
-    for (const auto& comb : combs_) {
+    for (const auto& comb : combs) {
       // the rendered-tuple dedup set is per comb (blocks.py builds a
       // fresh `aacs` set per _build_alleles_combs call)
       aac_seen_.clear();
@@ -1420,8 +1456,7 @@ class BlockExtractor {
   std::vector<V> vs_;
   std::vector<int64_t> col_of_;
   int64_t stride_ = 3, width_ = 0;
-  std::vector<int32_t> P_, wmat_, sub_;
-  std::vector<std::vector<int32_t>> combs_;
+  std::vector<int32_t> P_, cmat_, wmat_, sub_;
   std::vector<std::pair<int64_t, int64_t>> gaps_;
   std::vector<std::vector<int32_t>> aacs_list_;
   std::unordered_set<std::string> idx_seen_, aac_seen_, lvl_seen_;
