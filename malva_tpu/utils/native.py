@@ -633,9 +633,11 @@ def extract_group(blocks, k: int, haploid: bool):
             n_ind = a1.shape[0]
         elif a1.shape[0] != n_ind:
             return None  # inconsistent sample counts: Python path
-        gt1[i] = a1.ctypes.data
-        gt2[i] = a2.ctypes.data
-        ph[i] = p.ctypes.data
+        # __array_interface__ avoids building a ctypes view per array
+        # (~1us each; three per variant adds ~0.3s per 100k records)
+        gt1[i] = a1.__array_interface__["data"][0]
+        gt2[i] = a2.__array_interface__["data"][0]
+        ph[i] = p.__array_interface__["data"][0]
     if n_ind < 0:
         n_ind = 0
     else:

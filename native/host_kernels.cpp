@@ -982,6 +982,41 @@ struct StrView {
   int64_t n;
 };
 
+// Open-addressing row-dedup: rows live contiguously in the destination
+// vector; the table stores row indices and compares in place — no
+// per-row std::string allocation (the dominant cost of cohort-scale
+// profile projections before this).
+class RowDedup {
+ public:
+  void reset(int64_t width, int64_t expect) {
+    width_ = width;
+    size_t cap = 16;
+    while (cap < (size_t)(expect > 0 ? expect : 1) * 2) cap <<= 1;
+    mask_ = cap - 1;
+    slots_.assign(cap, -1);
+  }
+  bool insert(std::vector<int32_t>& dst, const int32_t* row) {
+    uint64_t h = xxh3_one((const uint8_t*)row, width_ * 4);
+    size_t i = (size_t)h & mask_;
+    while (true) {
+      int64_t s = slots_[i];
+      if (s < 0) {
+        slots_[i] = (int64_t)(dst.size() / (size_t)width_);
+        dst.insert(dst.end(), row, row + width_);
+        return true;
+      }
+      if (!std::memcmp(dst.data() + s * width_, row, (size_t)width_ * 4))
+        return false;
+      i = (i + 1) & mask_;
+    }
+  }
+
+ private:
+  int64_t width_ = 0;
+  size_t mask_ = 0;
+  std::vector<int64_t> slots_;
+};
+
 // append a length-prefixed element to a dedup key
 inline void key_append(std::string& key, const uint8_t* p, int64_t n) {
   uint32_t len32 = (uint32_t)n;
@@ -1087,10 +1122,87 @@ class BlockExtractor {
       a2[col_of_[i]] = (const int32_t*)gt2_[v0_ + i];
       ph[col_of_[i]] = (const uint8_t*)ph_[v0_ + i];
     }
-    std::vector<int32_t> row(width_);
-    std::unordered_set<std::string> seen;
-    seen.reserve((size_t)n_ind_ * 2);
     P_.reserve((size_t)std::min<int64_t>(n_ind_, 1024) * width_);
+    if (ncols == 1) {
+      // single present variant (the dominant block shape on sparse
+      // cohort VCFs): allele indices are tiny, so a 13-bit bitmap
+      // ((a1<64)<<7 | (a2<64)<<1 | ph) replaces a hash-set insert per
+      // individual (2,504-sample cohorts insert ~250M times per 100k
+      // records otherwise); out-of-range values spill to a u64 set
+      uint64_t bm[128] = {0};
+      std::unordered_set<uint64_t> seen;
+      for (int64_t r = 0; r < n_ind_; ++r) {
+        int32_t x = a1[0][r];
+        int32_t y = haploid_ ? 0 : a2[0][r];
+        int32_t p = haploid_ ? 0 : (ph[0][r] ? 1 : 0);
+        bool fresh;
+        if ((uint32_t)x < 64 && (uint32_t)y < 64) {
+          uint32_t key = ((uint32_t)x << 7) | ((uint32_t)y << 1) | (uint32_t)p;
+          uint64_t bit = 1ULL << (key & 63);
+          fresh = !(bm[key >> 6] & bit);
+          bm[key >> 6] |= bit;
+        } else {
+          uint64_t key = ((uint64_t)(uint32_t)x << 33) |
+                         ((uint64_t)(uint32_t)y << 2) | (uint64_t)p;
+          fresh = seen.insert(key).second;
+        }
+        if (fresh) {
+          P_.push_back(x);
+          if (!haploid_) {
+            P_.push_back(y);
+            P_.push_back((int32_t)(ph[0][r] ? 1 : 0));
+          }
+        }
+      }
+      return;
+    }
+    if (ncols <= 3) {
+      // 2-3 present variants: rows pack into one u64 when every allele
+      // index is < 1024 (21 bits per variant) — integer-set dedup with
+      // a per-row fallback to the generic string set
+      std::unordered_set<uint64_t> seen;
+      std::unordered_set<std::string> spill;
+      std::vector<int32_t> row(width_);
+      for (int64_t r = 0; r < n_ind_; ++r) {
+        uint64_t key = 0;
+        bool small = true;
+        for (int64_t c = 0; c < ncols; ++c) {
+          int32_t x = a1[c][r];
+          int32_t y = haploid_ ? 0 : a2[c][r];
+          int32_t p = haploid_ ? 0 : (ph[c][r] ? 1 : 0);
+          if ((uint32_t)x >= 1024 || (uint32_t)y >= 1024) { small = false; break; }
+          key = (key << 21) | ((uint64_t)x << 11) | ((uint64_t)y << 1) |
+                (uint64_t)p;
+          if (haploid_) {
+            row[c] = x;
+          } else {
+            row[3 * c] = x;
+            row[3 * c + 1] = y;
+            row[3 * c + 2] = (int32_t)(ph[c][r] ? 1 : 0);
+          }
+        }
+        bool fresh;
+        if (small) {
+          fresh = seen.insert(key).second;
+        } else {
+          for (int64_t c = 0; c < ncols; ++c) {
+            if (haploid_) {
+              row[c] = a1[c][r];
+            } else {
+              row[3 * c] = a1[c][r];
+              row[3 * c + 1] = a2[c][r];
+              row[3 * c + 2] = (int32_t)ph[c][r];
+            }
+          }
+          std::string k2((const char*)row.data(), row.size() * 4);
+          fresh = spill.insert(std::move(k2)).second;
+        }
+        if (fresh) P_.insert(P_.end(), row.begin(), row.end());
+      }
+      return;
+    }
+    std::vector<int32_t> row(width_);
+    dedup_.reset(width_, n_ind_);
     for (int64_t r = 0; r < n_ind_; ++r) {
       for (int64_t c = 0; c < ncols; ++c) {
         if (haploid_) {
@@ -1101,9 +1213,7 @@ class BlockExtractor {
           row[3 * c + 2] = (int32_t)ph[c][r];
         }
       }
-      std::string key((const char*)row.data(), row.size() * 4);
-      if (seen.insert(std::move(key)).second)
-        P_.insert(P_.end(), row.begin(), row.end());
+      dedup_.insert(P_, row.data());
     }
   }
 
@@ -1118,6 +1228,25 @@ class BlockExtractor {
     int64_t w = (int64_t)want_local.size() * stride_;
     if (src_width == 0 || src.empty()) return;
     int64_t rows = (int64_t)src.size() / src_width;
+    if (w == stride_) {  // single-variant projection: u64-key dedup
+      int64_t c = src_cols_of_local[want_local[0]] * stride_;
+      std::unordered_set<uint64_t> seen;
+      seen.reserve(64);
+      for (int64_t r = 0; r < rows; ++r) {
+        const int32_t* base = src.data() + r * src_width + c;
+        uint64_t key;
+        if (stride_ == 1) {
+          key = (uint64_t)(uint32_t)base[0];
+        } else {
+          key = ((uint64_t)(uint32_t)base[0] << 33) |
+                ((uint64_t)(uint32_t)base[1] << 2) |
+                (uint64_t)(base[2] ? 1 : 0);
+        }
+        if (seen.insert(key).second)
+          dst.insert(dst.end(), base, base + stride_);
+      }
+      return;
+    }
     std::vector<int64_t> take;
     take.reserve(w);
     for (int64_t j : want_local) {
@@ -1125,13 +1254,11 @@ class BlockExtractor {
       for (int64_t s = 0; s < stride_; ++s) take.push_back(c * stride_ + s);
     }
     std::vector<int32_t> row(w);
-    std::unordered_set<std::string> seen;
+    dedup_.reset(w, rows);
     for (int64_t r = 0; r < rows; ++r) {
       const int32_t* base = src.data() + r * src_width;
       for (int64_t j = 0; j < w; ++j) row[j] = base[take[j]];
-      std::string key((const char*)row.data(), row.size() * 4);
-      if (seen.insert(std::move(key)).second)
-        dst.insert(dst.end(), row.begin(), row.end());
+      dedup_.insert(dst, row.data());
     }
   }
 
@@ -1242,7 +1369,7 @@ class BlockExtractor {
     sub_.clear();
     {
       std::vector<int32_t> row(m * stride_);
-      std::unordered_set<std::string> seen;
+      dedup_.reset((int64_t)(m * stride_), R);
       for (int64_t r = 0; r < R; ++r) {
         const int32_t* base = wmat_.data() + r * wmat_width;
         for (size_t j = 0; j < m; ++j) {
@@ -1250,13 +1377,34 @@ class BlockExtractor {
           for (int64_t s = 0; s < stride_; ++s)
             row[j * stride_ + s] = base[p * stride_ + s];
         }
-        std::string key((const char*)row.data(), row.size() * 4);
-        if (seen.insert(std::move(key)).second)
-          sub_.insert(sub_.end(), row.begin(), row.end());
+        dedup_.insert(sub_, row.data());
       }
     }
     int64_t rows = m ? (int64_t)sub_.size() / (m * stride_) : 0;
+    // u64 tuple keys (8 bits per position, MSB-first) when the comb is
+    // short and allele indices are byte-sized — the dense-unphased 2^m
+    // expansion over cohort-scale unique-row counts is string-allocation
+    // bound otherwise (measured 23x slower at 2,504 samples)
+    bool small8 = m <= 8;
+    for (size_t t = 0; t < sub_.size() && small8; ++t)
+      if ((uint32_t)sub_[t] >= 256) small8 = false;
+    idx64_.clear();
+    auto emit64 = [&](uint64_t key) {
+      if (idx64_.insert(key).second) {
+        std::vector<int32_t> tv(m);
+        for (size_t j = 0; j < m; ++j)
+          tv[j] = (int32_t)((key >> (8 * (m - 1 - j))) & 255);
+        aacs_list_.push_back(std::move(tv));
+      }
+    };
     auto add_idx = [&](const int32_t* vals, int64_t stride, int64_t off) {
+      if (small8) {
+        uint64_t key = 0;
+        for (size_t j = 0; j < m; ++j)
+          key = (key << 8) | (uint64_t)(uint32_t)vals[j * stride + off];
+        emit64(key);
+        return;
+      }
       std::string key;
       key.reserve(m * 4);
       for (size_t j = 0; j < m; ++j)
@@ -1279,6 +1427,25 @@ class BlockExtractor {
       if (phased) {
         add_idx(row, 3, 0);  // a1 haplotype
         add_idx(row, 3, 1);  // a2 haplotype
+      } else if (small8) {
+        // all 2^m selections in u64 space, deduplicated level by level
+        exp64_.clear();
+        exp64_.push_back(0);
+        for (size_t j = 0; j < m; ++j) {
+          int32_t x = row[3 * j], y = row[3 * j + 1];
+          next64_.clear();
+          lvl64_.clear();
+          for (uint64_t t : exp64_) {
+            uint64_t e1 = (t << 8) | (uint64_t)(uint32_t)x;
+            if (lvl64_.insert(e1).second) next64_.push_back(e1);
+            if (x != y) {
+              uint64_t e2 = (t << 8) | (uint64_t)(uint32_t)y;
+              if (lvl64_.insert(e2).second) next64_.push_back(e2);
+            }
+          }
+          exp64_.swap(next64_);
+        }
+        for (uint64_t t : exp64_) emit64(t);
       } else {
         // all 2^m selections, deduplicated level by level
         expand_.clear();
@@ -1459,7 +1626,10 @@ class BlockExtractor {
   std::vector<int32_t> P_, cmat_, wmat_, sub_;
   std::vector<std::pair<int64_t, int64_t>> gaps_;
   std::vector<std::vector<int32_t>> aacs_list_;
+  RowDedup dedup_;
   std::unordered_set<std::string> idx_seen_, aac_seen_, lvl_seen_;
+  std::unordered_set<uint64_t> idx64_, lvl64_;
+  std::vector<uint64_t> exp64_, next64_;
   std::vector<std::string> expand_, next_;
   std::vector<StrView> aac_views_;
   std::string aac_key_, kmer_buf_, var_bytes_;
@@ -1549,11 +1719,76 @@ extern "C" void malva_parse_gt_batch(
     std::vector<int32_t> enc;
 #pragma omp for schedule(dynamic, 16)
     for (int64_t r = 0; r < n_rec; ++r) {
+      const uint8_t* s = bytes + rec_off[r];
+      int64_t len = rec_off[r + 1] - rec_off[r];
+      // fixed-width fast paths (GT first in FORMAT, single-digit
+      // alleles): "a|b\t"*n — the overwhelmingly common cohort layout —
+      // and haploid "a\t"*n.  Byte-for-byte the same decode as the
+      // generic path below.
+      if (gt_at[r] == 0 && len == 4 * n_samples - 1) {
+        bool good = true;
+        for (int64_t i = 0; i < n_samples && good; ++i) {
+          const uint8_t* p = s + 4 * i;
+          uint8_t d1 = p[0], sep = p[1], d2 = p[2];
+          good = ((d1 >= '0' && d1 <= '9') || d1 == '.') &&
+               (sep == '|' || sep == '/') &&
+               ((d2 >= '0' && d2 <= '9') || d2 == '.') &&
+               (i + 1 == n_samples || p[3] == '\t');
+        }
+        if (good) {
+          int32_t* ra1 = a1 + r * n_samples;
+          int32_t* ra2 = a2 + r * n_samples;
+          uint8_t* rp = ph + r * n_samples;
+          for (int64_t i = 0; i < n_samples; ++i) {
+            const uint8_t* p = s + 4 * i;
+            int32_t e1 = p[0] == '.' ? 0 : (int32_t)(p[0] - '0' + 1) << 1;
+            int32_t e2 = (p[2] == '.' ? 0 : (int32_t)(p[2] - '0' + 1) << 1) |
+                         (p[1] == '|');
+            int32_t v1 = (e1 >> 1) - 1;
+            ra1[i] = v1 > 0 ? v1 : 0;
+            int32_t v2 = (e2 >> 1) - 1;
+            ra2[i] = v2 > 0 ? v2 : 0;
+            rp[i] = (uint8_t)(e2 & 1);
+          }
+          ok[r] = 1;
+          continue;
+        }
+      }
+      if (gt_at[r] == 0 && len == 2 * n_samples - 1) {
+        bool good = true;
+        for (int64_t i = 0; i < n_samples && good; ++i) {
+          uint8_t d = s[2 * i];
+          good = ((d >= '0' && d <= '9') || d == '.') &&
+               (i + 1 == n_samples || s[2 * i + 1] == '\t');
+        }
+        if (good) {  // ploidy 1: slot base+1 reads the NEXT sample's entry
+          int32_t* ra1 = a1 + r * n_samples;
+          int32_t* ra2 = a2 + r * n_samples;
+          uint8_t* rp = ph + r * n_samples;
+          for (int64_t i = 0; i < n_samples; ++i) {
+            uint8_t d = s[2 * i];
+            int32_t e1 = d == '.' ? 0 : (int32_t)(d - '0' + 1) << 1;
+            int32_t v1 = (e1 >> 1) - 1;
+            ra1[i] = v1 > 0 ? v1 : 0;
+            if (i + 1 < n_samples) {
+              uint8_t dn = s[2 * (i + 1)];
+              int32_t e2 = dn == '.' ? 0 : (int32_t)(dn - '0' + 1) << 1;
+              int32_t v2 = (e2 >> 1) - 1;
+              ra2[i] = v2 > 0 ? v2 : 0;
+              rp[i] = 0;  // next sample's first entry: phase bit 0
+            } else {
+              ra2[i] = ra1[i];  // VECTOR_END
+              rp[i] = 1;
+            }
+          }
+          ok[r] = 1;
+          continue;
+        }
+      }
       int64_t mp = -1;
       for (int64_t cap = 8; cap <= 64; cap <<= 3) {
         enc.resize((size_t)(n_samples * cap));
-        mp = malva_parse_gt(bytes + rec_off[r], rec_off[r + 1] - rec_off[r],
-                            n_samples, gt_at[r], enc.data(), cap);
+        mp = malva_parse_gt(s, len, n_samples, gt_at[r], enc.data(), cap);
         if (mp >= 0) {
           if (mp > 0 && mp <= cap) {
             int32_t* ra1 = a1 + r * n_samples;
