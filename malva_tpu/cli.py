@@ -158,6 +158,7 @@ def _main(argv: list[str] | None = None) -> int:
             index = load_index(path)
         else:
             index = build_index(cfg, timer)
+            _try_save_index(index, path, timer)
         os.makedirs(args.out_dir, exist_ok=True)
         outs = []
         names = []
@@ -185,9 +186,22 @@ def _main(argv: list[str] | None = None) -> int:
         index = load_index(path)
     else:
         index = build_index(cfg, timer)
+        _try_save_index(index, path, timer)
     call(cfg, index, sys.stdout, timer)
     timer.pelapsed("Execution completed")
     return 0
+
+
+def _try_save_index(index, path: str, timer: PhaseTimer) -> None:
+    """Persist the index `run`/`batch` just built so consecutive runs can
+    reuse it (the MALVA driver's skip-if-exists intent, MALVA:113-118 —
+    its check is broken upstream and the index is always rebuilt there).
+    Save failure is not fatal: the in-memory index is still good."""
+    try:
+        save_index(index, path)
+        timer.pelapsed("Index saved")
+    except OSError as e:
+        print(f"[malva-tpu] index not saved ({e}); continuing", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -152,6 +152,10 @@ class FlatExtract:
         self._derive()
         if self.sig_nk.shape[0] == 0:
             return np.zeros(0, dtype=np.int64)
+        # reduceat misbehaves on empty runs (returns the neighbor, and a
+        # trailing empty run indexes OOB); both engines always emit >=1
+        # k-mer per signature — keep that invariant explicit
+        assert (self.sig_nk > 0).all(), "zero-length signature"
         sig_starts = np.zeros(self.sig_nk.shape[0], dtype=np.int64)
         np.cumsum(self.sig_nk[:-1], out=sig_starts[1:])
         nonempty = (self.kmer_len > 0).astype(np.int64)
@@ -877,16 +881,32 @@ def call_batch(
     for sample_path in sample_paths:
         _reset_counters(index)
         if cfg.from_kmc_dump or cfg.from_kmc_db:
-            if dev is None and _resolve_backend(
-                cfg, _kmc_est_kmers(cfg, sample_path), DEVICE_MIN_KMERS
-            ) == "device":
-                from .index.device import DeviceIndex
+            est = _kmc_est_kmers(cfg, sample_path)
+            mesh = _call_mesh(cfg, est, DEVICE_MIN_KMERS)
+            if mesh is not None:
+                # multi-chip: stream through the routed sharded session
+                # (mirrors call(); _apply_kmc_stream routes when dev=None)
+                _apply_kmc_stream(cfg, index, sample_path)
+            else:
+                if dev is None and _resolve_backend(
+                    cfg, est, DEVICE_MIN_KMERS
+                ) == "device":
+                    from .index.device import DeviceIndex
 
-                dev = DeviceIndex.from_host(index, cfg)
-            _apply_kmc_stream(cfg, index, sample_path, dev=dev)
+                    dev = DeviceIndex.from_host(index, cfg)
+                _apply_kmc_stream(cfg, index, sample_path, dev=dev)
         else:
             contexts, counts = _sample_kmers(cfg, sample_path)
-            if _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
+            mesh = _call_mesh(cfg, contexts.shape[0], DEVICE_MIN_KMERS)
+            if mesh is not None:
+                from .parallel.sharded_index import (
+                    apply_sample_counts_sharded_stream,
+                )
+
+                apply_sample_counts_sharded_stream(
+                    index, [(contexts, counts)], cfg, mesh
+                )
+            elif _resolve_backend(cfg, contexts.shape[0], DEVICE_MIN_KMERS) == "device":
                 from .index.device import DeviceIndex, apply_sample_counts_device
 
                 if dev is None:

@@ -68,3 +68,34 @@ def test_full_pipeline_mesh_vs_single_device(haploid_inputs, monkeypatch):
 
     assert mesh_out.getvalue() == host_out.getvalue()
     assert mesh_out.getvalue().count("\n") > 400  # all 418 records emitted
+
+
+@pytest.mark.slow
+def test_call_batch_routes_mesh(haploid_inputs, monkeypatch):
+    """call_batch routes phase A through the routed sharded session when a
+    mesh is attached (same routing contract as call)."""
+    import jax
+
+    from malva_tpu.pipeline import call_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    d = haploid_inputs
+    monkeypatch.setenv("MALVA_SHARD_BATCH", str(1 << 14))
+    monkeypatch.setattr("malva_tpu.pipeline.DEVICE_MIN_REF_POSITIONS", 0)
+    monkeypatch.setattr("malva_tpu.pipeline.DEVICE_MIN_KMERS", 0)
+    monkeypatch.setattr("malva_tpu.pipeline.DEVICE_MIN_READ_BYTES", 0)
+
+    cfg_h = _cfg(d, "host")
+    index = build_index(cfg_h)
+    host_outs = [io.StringIO(), io.StringIO()]
+    call_batch(cfg_h, index, [str(d / "haploid.fq")] * 2, host_outs)
+
+    cfg_m = _cfg(d, "device")
+    index_m = build_index(cfg_m)
+    mesh_outs = [io.StringIO(), io.StringIO()]
+    call_batch(cfg_m, index_m, [str(d / "haploid.fq")] * 2, mesh_outs)
+
+    for h, m in zip(host_outs, mesh_outs):
+        assert m.getvalue() == h.getvalue()
+        assert m.getvalue().count("\n") > 400
