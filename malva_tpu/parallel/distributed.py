@@ -60,6 +60,162 @@ def host_shard(paths: list[str]) -> list[str]:
     return [p for i, p in enumerate(paths) if i % n == pid]
 
 
+class _Collectives:
+    """Cached global mesh + jitted exchange steps for host-side data.
+
+    The process-level collectives ride a 1-device-per-process global mesh
+    (axis "p"): host arrays go global via host_local_array_to_global_array,
+    one jitted shard_map collective runs (all_to_all for the ranged
+    exchange, psum for the counter-plane merge), and results come back
+    host-local.  Jits are cached per padded shape (pow2-bucketed rows, so
+    compile count is O(log batch))."""
+
+    def __init__(self):
+        self._mesh = None
+        self._checked = False
+        self._a2a = {}
+        self._psum = {}
+
+    def mesh_or_none(self):
+        """The process mesh, or None when the topology doesn't give one
+        device per process (then callers use the allgather fallback)."""
+        if self._checked:
+            return self._mesh
+        self._checked = True
+        import jax
+
+        devs = np.array(jax.devices())
+        if devs.size == jax.process_count():
+            from jax.sharding import Mesh
+
+            self._mesh = Mesh(devs, ("p",))
+        return self._mesh
+
+    def all_to_all(self, send: np.ndarray) -> np.ndarray | None:
+        """(H, m, R)->(H, m, R): block [dst] of each src lands at dst's
+        [src].  Returns None when no process mesh is available."""
+        mesh = self.mesh_or_none()
+        if mesh is None:
+            return None
+        import jax
+        from jax.experimental import multihost_utils
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        shape = send.shape
+        if shape not in self._a2a:
+            self._a2a[shape] = jax.jit(shard_map(
+                lambda x: jax.lax.all_to_all(
+                    x, "p", split_axis=0, concat_axis=0, tiled=True
+                ),
+                mesh=mesh, in_specs=P("p"), out_specs=P("p"),
+            ))
+        glob = multihost_utils.host_local_array_to_global_array(
+            send, mesh, P("p")
+        )
+        out = self._a2a[shape](glob)
+        return np.asarray(multihost_utils.global_array_to_host_local_array(
+            out, mesh, P("p")
+        ))
+
+    def psum_u32(self, plane: np.ndarray) -> np.ndarray | None:
+        """Element-wise mod-2^32 sum of one uint32 plane across processes
+        (counter adds commute; uint32 wraparound is order-independent).
+        O(plane) transient memory per host — never the O(H x plane) an
+        allgather+sum holds.  None when no process mesh is available."""
+        if plane.shape[0] == 0:
+            return np.asarray(plane, dtype=np.uint32)
+        mesh = self.mesh_or_none()
+        if mesh is None:
+            return None
+        import jax
+        from jax.experimental import multihost_utils
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n = plane.shape[0]
+        if n not in self._psum:
+            self._psum[n] = jax.jit(shard_map(
+                lambda x: jax.lax.psum(x, "p"),
+                mesh=mesh, in_specs=P("p"), out_specs=P(None),
+            ))
+        gp = multihost_utils.host_local_array_to_global_array(
+            np.ascontiguousarray(plane, dtype=np.uint32)[None], mesh, P("p")
+        )
+        out = self._psum[n](gp)
+        return np.asarray(multihost_utils.global_array_to_host_local_array(
+            out, mesh, P(None)
+        ))[0]
+
+
+def _exchange_rows(coll: _Collectives, keys: np.ndarray, cnts: np.ndarray,
+                   owner: np.ndarray, w: int, stats: dict | None = None):
+    """One-round ranged exchange: every process sends each row to its
+    owner and receives the rows it owns — per-destination blocks, ONE
+    all_to_all, O(data) total traffic (each host receives only what it
+    keeps, plus per-(src,dst) padding to the global max block).  Replaces
+    the per-owner allgather loop (2H collectives/batch, every host
+    receiving H x what it kept).  Falls back to that loop when no
+    process mesh exists.  Returns [(keys, cnts)] received by this
+    process, per source, sorted-run order preserved."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    H = jax.process_count()
+    pid = jax.process_index()
+    my_counts = np.bincount(owner, minlength=H).astype(np.int32)
+    all_counts = np.asarray(
+        multihost_utils.process_allgather(my_counts)
+    ).reshape(H, H)  # [src, dst]
+    m = int(all_counts.max())
+    if m == 0:
+        return []
+    # pow2 row padding bounds jit compiles at O(log batch) distinct shapes
+    m_pad = 1 << max(0, (m - 1).bit_length())
+    R = 2 * w + 2  # key uint32 lanes + count int64 as 2 lanes
+    order = np.argsort(owner, kind="stable")
+    row32 = np.concatenate([
+        np.ascontiguousarray(keys[order]).view(np.uint32).reshape(-1, 2 * w),
+        cnts[order].astype(np.int64).view(np.uint32).reshape(-1, 2),
+    ], axis=1)
+    starts = np.zeros(H + 1, dtype=np.int64)
+    np.cumsum(my_counts, out=starts[1:])
+    send = np.zeros((H, m_pad, R), dtype=np.uint32)
+    for dst in range(H):
+        lo, hi = int(starts[dst]), int(starts[dst + 1])
+        send[dst, : hi - lo] = row32[lo:hi]
+
+    recv = coll.all_to_all(send)
+    if stats is not None:
+        stats["rounds"] = stats.get("rounds", 0) + 1
+        stats["rows_sent"] = stats.get("rows_sent", 0) + int(keys.shape[0])
+        stats["rows_padded"] = stats.get("rows_padded", 0) + H * m_pad
+    if recv is None:
+        # no 1-device-per-process mesh: lockstep per-owner allgather
+        out = []
+        for h in range(H):
+            sel = owner == h
+            per_proc = _allgather_runs(keys[sel], cnts[sel], w)
+            if pid == h:
+                out.extend(per_proc)
+        if stats is not None:
+            stats["fallback"] = True
+        return out
+
+    out = []
+    for src in range(H):
+        n = int(all_counts[src, pid])
+        if n == 0:
+            continue
+        rows = np.ascontiguousarray(recv[src, :n])
+        kk = np.ascontiguousarray(rows[:, : 2 * w]).view(np.uint64)
+        cc = np.ascontiguousarray(rows[:, 2 * w :]).view(np.int64).reshape(-1)
+        out.append((kk, cc))
+        if stats is not None:
+            stats["rows_kept"] = stats.get("rows_kept", 0) + n
+    return out
+
+
 def _allgather_runs(keys: np.ndarray, cnts: np.ndarray, w: int):
     """Exchange one (possibly empty) sorted run with every process.
     Returns per-process (keys, cnts) lists.  Rows pad to the max length
@@ -158,6 +314,8 @@ def count_distributed(
     it = iter(local_batches())
     from jax.experimental import multihost_utils
 
+    coll = _Collectives()
+    stats: dict = {}
     while True:
         batch = next(it, None)
         have = np.array([0 if batch is None else 1], dtype=np.int64)
@@ -174,14 +332,20 @@ def count_distributed(
             cnts = np.asarray(batch[1], dtype=np.int64)
         owner = _bucket_of(keys, _OWNER_RANGES) % H if keys.shape[0] else \
             np.zeros(0, np.int64)
-        # per-owner lockstep exchange; only the owner keeps its slice
-        for h in range(H):
-            sel = owner == h
-            per_proc = _allgather_runs(keys[sel], cnts[sel], w)
-            if pid == h:
-                for kk, cc in per_proc:
-                    if kk.shape[0]:
-                        my_runs.append((kk, cc))
+        # one-round exchange: per-destination blocks, one all_to_all
+        for kk, cc in _exchange_rows(coll, keys, cnts, owner, w, stats):
+            if kk.shape[0]:
+                my_runs.append((kk, cc))
+    if stats:
+        print(
+            f"[malva-tpu/dist] host {pid}/{H}: exchange "
+            f"{stats.get('rounds', 0)} rounds x 1 all_to_all"
+            f"{' (allgather fallback)' if stats.get('fallback') else ''}, "
+            f"{stats.get('rows_sent', 0)} rows sent, "
+            f"{stats.get('rows_kept', 0)} kept, "
+            f"{stats.get('rows_padded', 0)} padded slots",
+            file=sys.stderr,
+        )
 
     if not my_runs:
         keys = np.zeros((0, w), np.uint64)
@@ -225,15 +389,20 @@ def call_distributed(cfg: Config, index, reads_paths: list[str], out,
     # global merge: counter adds commute, so summing the per-host planes
     # equals the sequential single-process application (mod-2^32 exact;
     # the 16-bit BF wrap applies at read time, after the sum — same as
-    # sequential adds into one uint32 plane)
-    bf_sum = np.asarray(
-        multihost_utils.process_allgather(index.bf.counts)
-    ).astype(np.uint64).sum(axis=0).astype(np.uint32)
-    index.bf.counts = bf_sum
-    vals = index.ref_bf.snapshot_values()
-    vals_sum = np.asarray(
-        multihost_utils.process_allgather(vals)
-    ).astype(np.uint64).sum(axis=0).astype(np.uint32)
+    # sequential adds into one uint32 plane).  psum keeps transient
+    # memory O(plane); the allgather fallback holds O(H x plane).
+    coll = _Collectives()
+
+    def merge_plane(plane: np.ndarray) -> np.ndarray:
+        out = coll.psum_u32(plane)
+        if out is not None:
+            return out
+        return np.asarray(
+            multihost_utils.process_allgather(plane)
+        ).astype(np.uint64).sum(axis=0).astype(np.uint32)
+
+    index.bf.counts = merge_plane(index.bf.counts)
+    vals_sum = merge_plane(index.ref_bf.snapshot_values())
     for k, v in zip(list(index.ref_bf.kmers.keys()), vals_sum.tolist()):
         index.ref_bf.kmers[k] = v
 

@@ -1,14 +1,16 @@
 """Real multi-process jax.distributed runs (VERDICT r3 missing #3).
 
-Spawns 2 local CPU processes with a 127.0.0.1 coordinator — genuinely
-exercising jax.distributed.initialize, host_shard, the lockstep
-hash-range (key, count) exchange, and the global counter merge with
-``process_count > 1`` — and requires the rank-0 VCF byte-identical to
-the committed reference golden (splitting the read set across processes
-does not change the global k-mer multiset, so output must not change).
+Spawns local CPU processes with a 127.0.0.1 coordinator — genuinely
+exercising jax.distributed.initialize, host_shard, the one-round
+all_to_all hash-range (key, count) exchange, and the psum counter-plane
+merge with ``process_count > 1`` — and requires the rank-0 VCF
+byte-identical to the committed reference golden (splitting the read set
+across processes does not change the global k-mer multiset, so output
+must not change).
 """
 
 import os
+import socket
 import subprocess
 import sys
 import tarfile
@@ -19,6 +21,12 @@ REF_EXAMPLE = "/root/reference/example"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 @pytest.fixture(scope="module")
 def split_inputs(tmp_path_factory):
     tar = os.path.join(REF_EXAMPLE, "haploid.tar.gz")
@@ -27,38 +35,32 @@ def split_inputs(tmp_path_factory):
     d = tmp_path_factory.mktemp("dist")
     with tarfile.open(tar) as tf:
         tf.extractall(d)
-    # split the FASTQ into two read files (4 lines per record)
+    # split the FASTQ into four read files (4 lines per record)
     lines = open(d / "haploid.fq").read().splitlines(keepends=True)
     recs = [lines[i : i + 4] for i in range(0, len(lines), 4)]
-    for part in (0, 1):
+    for part in range(4):
         with open(d / f"reads{part}.fq", "w") as f:
-            for r in recs[part::2]:
+            for r in recs[part::4]:
                 f.writelines(r)
     return d
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("spill", [False, True])
-def test_two_process_pipeline_matches_golden(split_inputs, spill, tmp_path):
-    d = split_inputs
-    out = tmp_path / f"dist{int(spill)}.vcf"
-    port = 19770 + int(spill)
+def _launch(d, tmp_path, n_procs, spill, out):
+    port = _free_port()
     procs = []
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     env.pop("XLA_FLAGS", None)  # one device per process
-    for pid in (0, 1):
+    reads = [str(d / f"reads{p}.fq") for p in range(4)]
+    for pid in range(n_procs):
         args = [
             sys.executable, os.path.join(REPO, "tools", "run_distributed.py"),
             "--coordinator", f"127.0.0.1:{port}",
-            "--num-processes", "2", "--process-id", str(pid),
+            "--num-processes", str(n_procs), "--process-id", str(pid),
             "--out", str(out), "-1", "-b", "1", "-f", "AF",
         ]
         if spill:
             args += ["--spill-dir", str(tmp_path / f"spill{pid}")]
-        args += [
-            str(d / "haploid.fa"), str(d / "haploid.vcf"),
-            str(d / "reads0.fq"), str(d / "reads1.fq"),
-        ]
+        args += [str(d / "haploid.fa"), str(d / "haploid.vcf")] + reads
         procs.append(subprocess.Popen(
             args, env=env, stdout=subprocess.DEVNULL,
             stderr=subprocess.PIPE,
@@ -68,5 +70,21 @@ def test_two_process_pipeline_matches_golden(split_inputs, spill, tmp_path):
         _, err = p.communicate(timeout=600)
         errs.append(err.decode(errors="replace"))
         assert p.returncode == 0, errs
+    return errs
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_procs,spill", [(2, False), (2, True), (4, False)])
+def test_multi_process_pipeline_matches_golden(split_inputs, n_procs, spill,
+                                               tmp_path):
+    out = tmp_path / f"dist{n_procs}_{int(spill)}.vcf"
+    errs = _launch(split_inputs, tmp_path, n_procs, spill, out)
     golden = open(os.path.join(REF_EXAMPLE, "haploid.malva.vcf")).read()
     assert out.read_text() == golden
+    # the exchange must take the one-round all_to_all path (not the
+    # per-owner allgather fallback), and its traffic is logged
+    for err in errs:
+        ex = [l for l in err.splitlines() if "exchange" in l]
+        assert ex, err
+        assert "all_to_all" in ex[0] and "fallback" not in ex[0], ex[0]
+        assert "rows sent" in ex[0]
