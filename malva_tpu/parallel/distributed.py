@@ -274,6 +274,226 @@ def _tree_merge(runs: list) -> tuple[np.ndarray, np.ndarray]:
 _OWNER_RANGES = 1024
 
 
+def _allgather_padded(arr: np.ndarray):
+    """process_allgather of one variable-length local array: returns
+    (list of per-process arrays).  Rows pad to the global max; dtypes
+    must be 32-bit (process_allgather silently downcasts 64-bit under
+    JAX's default 32-bit mode — transport 64-bit payloads as lanes)."""
+    from jax.experimental import multihost_utils
+
+    assert arr.dtype.itemsize <= 4, arr.dtype
+    n = np.array([arr.shape[0]], dtype=np.int32)
+    all_n = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    m = int(all_n.max())
+    if m == 0:
+        return [arr[:0] for _ in all_n]
+    pad_shape = (m,) + arr.shape[1:]
+    buf = np.zeros(pad_shape, dtype=arr.dtype)
+    buf[: arr.shape[0]] = arr
+    allg = np.asarray(multihost_utils.process_allgather(buf))
+    return [allg[h, : int(all_n[h])] for h in range(all_n.shape[0])]
+
+
+def _or_merge_words(words: np.ndarray) -> None:
+    """In-place bitwise-OR of one Bloom word plane across processes:
+    sparse (nonzero index, value) pairs allgather (bit adds are
+    idempotent, so OR of the per-process planes equals the sequential
+    single-process adds)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    pid = jax.process_index()
+    nz = np.flatnonzero(words)
+    pairs = np.empty((nz.shape[0], 2), dtype=np.uint32)
+    pairs[:, 0] = nz  # word index < 2^32 for any -b the CLI admits
+    pairs[:, 1] = words[nz]
+    for h, p in enumerate(_allgather_padded(pairs)):
+        if h == pid or p.shape[0] == 0:
+            continue
+        words[p[:, 0].astype(np.int64)] |= p[:, 1]
+
+
+def _batch_ref_keys(flat) -> tuple[np.ndarray, bytes]:
+    """One batch's reference-allele KMAP keys, first-occurrence-deduped in
+    the exact single-process insertion order (length_groups order: length
+    ascending, row order within).  Returns (lengths int32, concat bytes)."""
+    from ..ops.seq import canonical, truncate_at_nul
+
+    groups = []
+    any_nul = False
+    for is_ref, _L, _idxs, mat in flat.length_groups():
+        if not is_ref:
+            continue
+        ck = truncate_at_nul(canonical(mat))
+        groups.append(ck)
+        if ck.size and ck.min() == 0:
+            any_nul = True
+    if not groups:
+        return np.zeros(0, np.int32), b""
+    if len(groups) == 1 and not any_nul:
+        g = np.ascontiguousarray(groups[0])
+        v = g.view(f"V{g.shape[1]}").ravel()
+        _, first = np.unique(v, return_index=True)
+        data = g[np.sort(first)]
+        return (np.full(data.shape[0], g.shape[1], np.int32),
+                data.tobytes())
+    # general path (NUL-truncated or multiple length classes): ordered set
+    seen = set()
+    keys = []
+    for ck in groups:
+        for row in ck:
+            kb = row.tobytes().rstrip(b"\x00")
+            if kb not in seen:
+                seen.add(kb)
+                keys.append(kb)
+    return (np.asarray([len(k) for k in keys], np.int32), b"".join(keys))
+
+
+def build_index_distributed(cfg: Config, timer=None):
+    """Index phase sharded across processes (reference main.cpp:251-419
+    done ONCE cluster-wide, not once per host): every process runs the
+    cheap record scan (block/batch boundaries need only positions, sizes
+    and INFO frequencies), but the expensive GT parse + signature
+    extraction run only for its round-robin-owned batches.  Merges:
+    Bloom bit planes OR (idempotent adds), KMAP keys unioned in the
+    deterministic single-process insertion order (batch asc, in-batch
+    order) — identical key ORDER everywhere is load-bearing: the counter
+    merge and the pass-2 plane reads index by key position.  The
+    reference context scan shards by 1M-base chunk, context bits OR."""
+    import jax
+
+    from ..index.bloom_filter import BF
+    from ..index.kmap import KMAP
+    from ..io.fasta import load_reference
+    from ..pipeline import Index, _iter_extract_batches
+    from ..utils.timing import PhaseTimer
+
+    H = jax.process_count()
+    pid = jax.process_index()
+    timer = timer or PhaseTimer()
+    refs = load_reference(cfg.fasta_path, cfg.strip_chr)
+
+    bf = BF(cfg.bf_size)
+    context_bf = BF(cfg.bf_size)
+    used_names: list[str] = []
+    n_vars = 0
+    my_keys: list[tuple[int, np.ndarray, bytes]] = []
+    for bi, flat in _iter_extract_batches(
+        cfg, refs, keep_absent=False, used_out=used_names,
+        owned=lambda b: b % H == pid,
+    ):
+        n_vars += len(flat.all_vars)
+        lens, data = _batch_ref_keys(flat)
+        if lens.shape[0]:
+            my_keys.append((bi, lens, data))
+        for is_ref, _L, _idxs, mat in flat.length_groups():
+            if not is_ref:
+                bf.add_keys(mat)
+    timer.pelapsed(f"Processed variants (host {pid}: {n_vars} in owned batches)")
+
+    _or_merge_words(bf.words)
+    ref_bf = _merged_kmap(my_keys)
+    bf.switch_mode()
+    if pid == 0:
+        fill = len(bf.counts) / max(bf.size, 1)
+        print(
+            f"[malva-tpu/metrics] alt-BF set bits {len(bf.counts)} "
+            f"(fill {fill:.2e}); exact map keys {len(ref_bf)}",
+            file=sys.stderr,
+        )
+    timer.pelapsed("BF creation complete (merged)")
+
+    # reference context scan, sharded by chunk (semantics: pipeline
+    # build_index host path, main.cpp:382-401; adds are idempotent)
+    off = cfg.center_off
+    chunk = 1 << 20
+    ci = 0
+    for seq_name in used_names:
+        ref = refs.get(seq_name)
+        if ref is None or len(ref) == 0:
+            continue
+        L = len(ref)
+        if L < cfg.ref_k:
+            if ci % H == pid and L > off:
+                sub = ref[off : off + cfg.k][None, :]
+                if bf.test_keys(sub)[0]:
+                    context_bf.add_keys(ref[: cfg.ref_k][None, :])
+            ci += 1
+            continue
+        n_pos = L - cfg.ref_k + 1
+        for start in range(0, n_pos, chunk):
+            if ci % H == pid:
+                stop = min(start + chunk, n_pos)
+                windows = np.lib.stride_tricks.sliding_window_view(
+                    ref[start : stop + cfg.ref_k - 1], cfg.ref_k
+                )
+                centers = windows[:, off : off + cfg.k]
+                hits = bf.test_keys(centers)
+                if hits.any():
+                    context_bf.add_keys(np.ascontiguousarray(windows[hits]))
+            ci += 1
+    _or_merge_words(context_bf.words)
+    context_bf.switch_mode()
+    timer.pelapsed("Reference BF creation complete (sharded scan, merged)")
+    return Index(bf=bf, ref_bf=ref_bf, context_bf=context_bf)
+
+
+def _merged_kmap(my_keys: list):
+    """Union the per-process per-batch key streams into one KMAP with the
+    exact insertion order a single process would produce: batches
+    ascending, first occurrence wins (dict insertion keeps the first
+    position, like upstream kmap.hpp:108)."""
+    from ..index.kmap import KMAP
+
+    flat_meta = []  # (batch_id, key_len) rows, int32
+    flat_data = []
+    for bi, lens, data in my_keys:
+        meta = np.empty((lens.shape[0], 2), np.int32)
+        meta[:, 0] = bi
+        meta[:, 1] = lens
+        flat_meta.append(meta)
+        flat_data.append(np.frombuffer(data, dtype=np.uint8))
+    meta = (np.concatenate(flat_meta) if flat_meta
+            else np.zeros((0, 2), np.int32))
+    data = (np.concatenate(flat_data) if flat_data
+            else np.zeros(0, np.uint8))
+
+    metas = _allgather_padded(meta)
+    datas = _allgather_padded(data)
+
+    # global order: each batch is wholly owned by one process and every
+    # stream is batch-ascending, so concatenating per-BATCH slices in
+    # batch-id order reproduces the sequential single-process stream
+    slices = []  # (batch_id, stream_idx, row_lo, row_hi)
+    streams = []
+    for m2, d in zip(metas, datas):
+        if m2.shape[0] == 0:
+            continue
+        offs = np.zeros(m2.shape[0] + 1, np.int64)
+        np.cumsum(m2[:, 1], out=offs[1:])
+        si = len(streams)
+        streams.append((m2, offs, d.tobytes()))
+        bids = m2[:, 0]
+        starts = np.flatnonzero(np.diff(bids, prepend=bids[0] - 1))
+        ends = np.append(starts[1:], bids.shape[0])
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            slices.append((int(bids[lo]), si, lo, hi))
+    slices.sort()
+    km = KMAP()
+    d = km.kmers
+    for _b, si, lo, hi in slices:
+        m2, offs, blob = streams[si]
+        lens = m2[lo:hi, 1].tolist()
+        at = int(offs[lo])
+        for ln in lens:
+            key = blob[at : at + ln]
+            at += ln
+            if key not in d:
+                d[key] = 0
+    return km
+
+
 def count_distributed(
     reads_paths: list[str], cfg: Config, ci: int = 2, cs: int = 255,
     spill_dir: str | None = None,
@@ -373,7 +593,7 @@ def call_distributed(cfg: Config, index, reads_paths: list[str], out,
     from jax.experimental import multihost_utils
 
     from ..io.fasta import load_reference
-    from ..pipeline import _genotype_and_emit, apply_sample_counts
+    from ..pipeline import apply_sample_counts
     from ..utils.timing import PhaseTimer
 
     keys, counts = count_distributed(
@@ -406,6 +626,72 @@ def call_distributed(cfg: Config, index, reads_paths: list[str], out,
     for k, v in zip(list(index.ref_bf.kmers.keys()), vals_sum.tolist()):
         index.ref_bf.kmers[k] = v
 
-    if jax.process_index() == 0:
-        refs = load_reference(cfg.fasta_path, cfg.strip_chr)
-        _genotype_and_emit(cfg, index, refs, out, PhaseTimer())
+    # pass 2 sharded by extraction batch: every host has the full merged
+    # counter planes, genotypes its owned batches, and rank 0 stitches
+    # the per-batch VCF text in batch order (byte-identical stream)
+    refs = load_reference(cfg.fasta_path, cfg.strip_chr)
+    _genotype_and_emit_distributed(cfg, index, refs, out, PhaseTimer())
+
+
+def _gather_blobs(blobs: list) -> list | None:
+    """Gather per-batch (batch_id, bytes) pairs to rank 0, returned in
+    batch-id order (None on other ranks).  Transport: one padded uint8
+    allgather for the concatenated text + one int32 (id, len) table."""
+    import jax
+
+    data = np.frombuffer(b"".join(b for _, b in blobs), dtype=np.uint8)
+    meta = np.asarray([[bi, len(b)] for bi, b in blobs],
+                      dtype=np.int32).reshape(-1, 2)
+    metas = _allgather_padded(meta)
+    datas = _allgather_padded(data)
+    if jax.process_index() != 0:
+        return None
+    out = []
+    for m2, d in zip(metas, datas):
+        blob = d.tobytes()
+        at = 0
+        for bi, ln in m2.tolist():
+            out.append((bi, blob[at : at + ln]))
+            at += ln
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _genotype_and_emit_distributed(cfg: Config, index, refs, out,
+                                   timer) -> None:
+    """Pass 2 (reference main.cpp:517-594) sharded across processes by
+    extraction batch: coverage assignment, genotyping and line formatting
+    run on the batch owner; rank 0 writes header + batches in order."""
+    import jax
+
+    from ..io.vcf import cleaned_header, open_variant_reader
+    from ..models.genotype import format_variants, genotype_block
+    from ..pipeline import (_EMPTY_BOOL, _EMPTY_I32, _iter_extract_batches,
+                            _set_coverages_flat)
+
+    H = jax.process_count()
+    pid = jax.process_index()
+    blobs: list[tuple[int, bytes]] = []
+    n = 0
+    for bi, flat in _iter_extract_batches(
+        cfg, refs, keep_absent=True, owned=lambda b: b % H == pid,
+    ):
+        for v in flat.all_vars:  # GT arrays consumed by extraction; drop
+            v.gt_a1 = v.gt_a2 = _EMPTY_I32
+            v.phase = _EMPTY_BOOL
+        _set_coverages_flat(index, flat)
+        genotype_block(flat.all_vars, cfg.max_coverage, cfg.haploid,
+                       cfg.error_rate)
+        text = "".join(
+            line + "\n"
+            for line in format_variants(flat.all_vars, cfg.haploid, cfg.verbose)
+        )
+        blobs.append((bi, text.encode()))
+        n += len(flat.all_vars)
+    gathered = _gather_blobs(blobs)
+    if pid == 0:
+        reader = open_variant_reader(cfg.vcf_path, cfg.samples)
+        out.write(cleaned_header(reader.meta_lines, cfg.verbose))
+        for _bi, b in gathered:
+            out.write(b.decode())
+    timer.pelapsed(f"VCF parsing and genotyping ({n} variants on host {pid})")

@@ -179,6 +179,7 @@ def _extract_batch_flat(batch, cfg: Config) -> FlatExtract:
     (utils.native.extract_group), falling back to the per-block Python
     path (blocks.VB.extract_kmers) with identical semantics."""
     all_vars = [v for variants, _ in batch for v in variants]
+    _resolve_gts(all_vars)  # deferred GT parse, one native batch
     res = native.extract_group(batch, cfg.k, cfg.haploid)
     if res is not None:
         tgt_var, tgt_allele, tgt_nsig, sig_nk, kmer_len, bytes_u8 = res
@@ -218,11 +219,31 @@ def _extract_batch_flat(batch, cfg: Config) -> FlatExtract:
 
 
 def _iter_extract_batches(cfg: Config, refs, keep_absent: bool,
-                          used_out=None, timer=None):
-    """Yield FlatExtract per EXTRACT_VARS-bounded batch of flushed blocks."""
+                          used_out=None, timer=None, owned=None):
+    """Yield FlatExtract per EXTRACT_VARS-bounded batch of flushed blocks.
+
+    With ``owned`` (a ``batch_idx -> bool`` predicate, distributed VCF
+    passes), yields ``(batch_idx, FlatExtract)`` for owned batches ONLY:
+    unowned batches skip the GT parse and extraction entirely (their
+    deferred sources are dropped) — batch boundaries derive from the
+    cheap record scan alone, so every process sees identical numbering."""
     ref_bytes_cache: dict[int, bytes] = {}
     batch: list[tuple[list, bytes]] = []
     nv = 0
+    bi = 0
+
+    def emit(batch):
+        nonlocal bi
+        b = bi
+        bi += 1
+        if owned is None:
+            yield _extract_batch_flat(batch, cfg)
+        elif owned(b):
+            yield b, _extract_batch_flat(batch, cfg)
+        else:
+            for variants, _ in batch:
+                for v in variants:
+                    v._gt_src = None  # release the raw records
     for vb, ref in _iter_blocks(cfg, refs, keep_absent, used_out, timer):
         # NOTE: setdefault would re-run tobytes() (a full contig copy)
         # on every block even on cache hits.
@@ -232,11 +253,11 @@ def _iter_extract_batches(cfg: Config, refs, keep_absent: bool,
         batch.append((vb.variants, ref_bytes))  # vb.clear() rebinds
         nv += len(vb.variants)
         if nv >= EXTRACT_VARS:
-            yield _extract_batch_flat(batch, cfg)
+            yield from emit(batch)
             batch = []
             nv = 0
     if batch:
-        yield _extract_batch_flat(batch, cfg)
+        yield from emit(batch)
 
 
 # Record batch size for the batched GT parse (native.parse_gt_batch,
@@ -244,65 +265,81 @@ def _iter_extract_batches(cfg: Config, refs, keep_absent: bool,
 PARSE_RECS = int(os.environ.get("MALVA_PARSE_RECS", 1024))
 
 
-def _iter_variants(cfg: Config, reader):
-    """Yield Variant per VCF record, with GT regions parsed+decoded in
-    PARSE_RECS-sized native batches (OpenMP across records) instead of
-    per record.  Falls back to the per-record path for sample subsets
-    (the upstream ploidy-1 wrap-around quirk reads the NEXT SELECTED
-    sample, variant.py:104-108 — the batch kernel decodes over the full
-    sample set) and for records the batch kernel rejects."""
-    selected = reader.selected
-    all_selected = list(selected) == list(range(len(reader.sample_names)))
-    use_batch = all_selected and native.load() is not None
-    batch: list = []
+class _GtCtx:
+    """Shared deferred-GT context for one VCF reader: how to resolve the
+    genotype arrays of a Variant constructed with skip_gt=True."""
 
-    def flush():
-        if not batch:
-            return
-        vs = [Variant(rec, selected, cfg.freq_key, cfg.uniform, skip_gt=True)
-              for rec in batch]
-        need = []
-        for j, v in enumerate(vs):
-            if not (v.has_alts and v.is_present):
-                continue
-            rec = batch[j]
-            gt_at = -1
-            fmt = getattr(rec, "fmt", None)  # BCF records decode GT inline
-            if use_batch and fmt is not None and len(selected):
-                fmt_keys = fmt.split(":")
-                if "GT" in fmt_keys:
-                    gt_at = fmt_keys.index("GT")
-            if gt_at >= 0:
-                need.append((j, gt_at))
+    __slots__ = ("selected", "n_samples", "use_batch")
+
+    def __init__(self, reader):
+        self.selected = reader.selected
+        self.n_samples = len(reader.sample_names)
+        all_selected = list(self.selected) == list(range(self.n_samples))
+        self.use_batch = all_selected and native.load() is not None
+
+
+def _resolve_gts(variants: list) -> None:
+    """Parse+decode the deferred GT regions of a batch of Variants in one
+    native call (OpenMP across records; malva_parse_gt_batch).  Falls back
+    to the per-record path for sample subsets (the upstream ploidy-1
+    wrap-around quirk reads the NEXT SELECTED sample, variant.py:104-108 —
+    the batch kernel decodes over the full sample set) and for records
+    the batch kernel rejects.  GT parsing is the per-record hot cost at
+    cohort scale (2,504 samples), so it runs ONLY for variants whose
+    extraction batch is actually processed — the distributed VCF passes
+    skip it entirely for batches owned by other processes."""
+    pend = [(v, *v._gt_src) for v in variants if v._gt_src is not None]
+    if not pend:
+        return
+    need = [(v, rec, gt_at) for v, _ctx, rec, gt_at in pend if gt_at >= 0]
+    ctx = pend[0][1]
+    res = native.parse_gt_batch(
+        [rec._samples_bytes() for _, rec, _ in need],
+        [g for _, _, g in need], ctx.n_samples,
+    ) if (need and ctx.use_batch) else None
+    if res is None:
+        for v, rec, _ in need:
+            v._extract_genotypes(rec, ctx.selected)
+    else:
+        a1, a2, ph, ok = res
+        for r, (v, rec, _) in enumerate(need):
+            if ok[r]:
+                v.gt_a1 = a1[r]
+                v.gt_a2 = a2[r]
+                v.phase = ph[r]
             else:
-                v._extract_genotypes(rec, selected)
-        if need:
-            res = native.parse_gt_batch(
-                [batch[j]._samples_bytes() for j, _ in need],
-                [g for _, g in need], len(reader.sample_names),
-            ) if use_batch else None
-            if res is None:
-                for j, _ in need:
-                    vs[j]._extract_genotypes(batch[j], selected)
-            else:
-                a1, a2, ph, ok = res
-                for r, (j, _) in enumerate(need):
-                    if ok[r]:
-                        vs[j].gt_a1 = a1[r]
-                        vs[j].gt_a2 = a2[r]
-                        vs[j].phase = ph[r]
-                    else:
-                        vs[j]._extract_genotypes(batch[j], selected)
-        batch.clear()
-        yield from vs
+                v._extract_genotypes(rec, ctx.selected)
+    for v, _ctx, rec, gt_at in pend:
+        if gt_at < 0:
+            v._extract_genotypes(rec, _ctx.selected)
+        v._gt_src = None
+
+
+def _iter_variants(cfg: Config, reader):
+    """Yield Variant per VCF record with the GT parse DEFERRED: each
+    variant carries a (ctx, record, gt_field_index) source and the
+    consuming extraction batch resolves them in one native batch
+    (_resolve_gts).  Everything block structure needs (positions, sizes,
+    has_alts/is_present from the cheap INFO parse) is materialized here."""
+    ctx = _GtCtx(reader)
+    selected = ctx.selected
 
     for rec in reader:
         if cfg.strip_chr and rec.chrom.startswith("chr"):
             rec.chrom = rec.chrom[3:]
-        batch.append(rec)
-        if len(batch) >= PARSE_RECS:
-            yield from flush()
-    yield from flush()
+        v = Variant(rec, selected, cfg.freq_key, cfg.uniform, skip_gt=True)
+        if v.has_alts and v.is_present:
+            fmt = getattr(rec, "fmt", None)  # BCF records decode GT inline
+            fmt_keys = fmt.split(":") if fmt is not None else []
+            if fmt is None or not len(selected) or "GT" not in fmt_keys:
+                # no GT data: genotypes_arrays returns None and has_alts
+                # flips False (variant.hpp:169-174) — that gates BLOCK
+                # structure, so it must resolve before blocks form
+                v._extract_genotypes(rec, selected)
+            else:
+                gt_at = fmt_keys.index("GT") if ctx.use_batch else -1
+                v._gt_src = (ctx, rec, gt_at)
+        yield v
 
 
 def _iter_blocks(

@@ -27,6 +27,7 @@ class Variant:
         "seq_name", "ref_pos", "idx", "ref_sub", "alts", "quality", "filt",
         "info", "gt_a1", "gt_a2", "phase", "ref_size", "min_size", "max_size",
         "has_alts", "is_present", "frequencies", "coverages", "computed_gts",
+        "_gt_src",
     )
 
     def __init__(self, rec: VcfRecord, selected: list[int], freq_key: str,
@@ -50,6 +51,7 @@ class Variant:
         self.frequencies: list[np.float32] = []
         self.computed_gts: list[tuple[str, float]] = []
         self.min_size = self.max_size = 0
+        self._gt_src = None  # deferred GT parse source (pipeline._resolve_gts)
 
         # set_sizes (variant.hpp:108-124)
         self.has_alts = bool(self.alts)

@@ -43,7 +43,9 @@ def main() -> int:
 
     import numpy as np
 
-    from malva_tpu.parallel.distributed import call_distributed, initialize
+    from malva_tpu.parallel.distributed import (
+        build_index_distributed, call_distributed, initialize,
+    )
     from malva_tpu.pipeline import build_index
     from malva_tpu.utils.config import Config
 
@@ -60,8 +62,13 @@ def main() -> int:
         freq_key=a.freq_key,
         haploid=a.haploid,
     )
-    # the index phase is deterministic: every process builds the same one
-    index = build_index(cfg)
+    # index phase sharded across processes (batches round-robin, merged
+    # bit planes + deterministic key union); single-process keeps the
+    # in-process builder
+    if a.num_processes > 1:
+        index = build_index_distributed(cfg)
+    else:
+        index = build_index(cfg)
     if jax.process_index() == 0:
         out = open(a.out, "w")
     else:
