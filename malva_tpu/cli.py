@@ -179,17 +179,95 @@ def _main(argv: list[str] | None = None) -> int:
         print("[malva-tpu] wrote: " + " ".join(names), file=sys.stderr)
         return 0
 
-    # run: end to end, in process
+    # run: end to end, in process.  When the index must be built and the
+    # sample is a large read set counted host-side, the counting phase
+    # (reads only) runs in a helper process OVERLAPPED with the index
+    # phase (VCF+ref only) — the two touch disjoint inputs, so the
+    # smaller phase hides behind the larger (the MALVA driver serializes
+    # KMC before index, MALVA:107-121).
     path = cfg.index_path()
+    producer = None
     if os.path.exists(path):
         print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
         index = load_index(path)
     else:
+        producer = _start_count_producer(cfg)
         index = build_index(cfg, timer)
         _try_save_index(index, path, timer)
-    call(cfg, index, sys.stdout, timer)
+        if producer is not None:
+            _finish_count_producer(producer, cfg, timer)
+    try:
+        call(cfg, index, sys.stdout, timer)
+    finally:
+        if producer is not None and producer[2]:
+            import shutil
+
+            shutil.rmtree(producer[1], ignore_errors=True)
     timer.pelapsed("Execution completed")
     return 0
+
+
+def _start_count_producer(cfg: Config):
+    """Launch the spill-counting producer for the overlapped `run`, or
+    None when overlap does not apply (KMC input, small reads, device
+    counting, or MALVA_NO_OVERLAP=1).  Returns (Popen, spill_dir,
+    spill_dir_is_temporary)."""
+    import subprocess
+    import tempfile
+
+    if os.environ.get("MALVA_NO_OVERLAP"):
+        return None
+    if cfg.from_kmc_dump or cfg.from_kmc_db:
+        return None
+    try:
+        nbytes = os.path.getsize(cfg.sample_path)
+    except OSError:
+        return None  # missing reads surface as the call phase's error
+    # reads below this size count inline: the helper-process + disk-spill
+    # overhead outweighs the overlap win
+    if nbytes < int(os.environ.get("MALVA_OVERLAP_MIN_BYTES", 32 << 20)):
+        return None
+    from .pipeline import DEVICE_MIN_READ_BYTES, _resolve_backend
+
+    if _resolve_backend(cfg, nbytes, DEVICE_MIN_READ_BYTES) != "host":
+        return None  # device counting would contend for the chip
+    import malva_tpu
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(malva_tpu.__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    is_tmp = not cfg.spill_dir
+    spill_dir = cfg.spill_dir or tempfile.mkdtemp(prefix="malva_spill_")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "malva_tpu.count.spill",
+         cfg.sample_path, str(cfg.ref_k), spill_dir],
+        env=env, stdout=subprocess.DEVNULL,  # parent stdout is pure VCF
+    )
+    print(
+        f"[malva-tpu] counting overlapped with index build (spill {spill_dir})",
+        file=sys.stderr,
+    )
+    return (p, spill_dir, is_tmp)
+
+
+def _finish_count_producer(producer, cfg: Config, timer: PhaseTimer) -> None:
+    """Join the producer; on success the call phase consumes its spill
+    store (resume skips straight to the merge), on failure fall back to
+    inline counting (correctness never depends on the overlap)."""
+    p, spill_dir, is_tmp = producer
+    rc = p.wait()
+    if rc != 0:
+        print(
+            f"[malva-tpu] overlapped counting failed (rc={rc}); "
+            f"recounting inline", file=sys.stderr,
+        )
+        if is_tmp:
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
+        return
+    cfg.spill_dir = spill_dir
+    timer.pelapsed("Sample k-mer counting (overlapped with index phase)")
 
 
 def _try_save_index(index, path: str, timer: PhaseTimer) -> None:

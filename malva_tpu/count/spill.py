@@ -209,6 +209,7 @@ def count_reads_kmers_spill(
     use_device: bool = False,
     resume: bool = True,
     keep_spill: bool = False,
+    produce_only: bool = False,
 ):
     """Bounded-memory version of counter.count_reads_kmers.
 
@@ -216,21 +217,34 @@ def count_reads_kmers_spill(
     bucket); total counts are exact and identical to the in-RAM counter's
     (order differs — bucket-major — which no consumer observes: counter
     updates are commutative).
+
+    ``produce_only=True`` runs the counting/spill phase, marks the
+    manifest done and returns None without merging — the producer half of
+    the overlapped `run` (counting runs in a helper process while the
+    index phase builds; the consumer later resumes with the same
+    spill_dir and skips straight to the merge).
     """
     store = SpillStore(spill_dir, n_buckets)
     manifest_path = os.path.join(spill_dir, "manifest.json")
     start_batch = 0
     total_windows = 0
+    produced = False  # a completed producer (possibly another process —
+    # the overlapped `run` counts while the index builds) marked done
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             man = json.load(f)
         if man.get("ref_k") == ref_k and man.get("reads_path") == reads_path:
             start_batch = int(man["batch"])
             total_windows = int(man["windows"])
+            produced = bool(man.get("done"))
             store.drop_segments_from(int(man["n_seg"]))
             print(
-                f"[malva-tpu/spill] resuming at batch {start_batch} "
-                f"({store.n_seg} segments committed)", file=log,
+                f"[malva-tpu/spill] "
+                + ("spill complete: skipping production"
+                   if produced else
+                   f"resuming at batch {start_batch} "
+                   f"({store.n_seg} segments committed)"),
+                file=log,
             )
         else:
             print("[malva-tpu/spill] manifest mismatch, restarting", file=log)
@@ -238,12 +252,12 @@ def count_reads_kmers_spill(
     else:
         store.cleanup()
 
-    def commit_manifest(batch_i: int) -> None:
+    def commit_manifest(batch_i: int, done: bool = False) -> None:
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({
                 "ref_k": ref_k, "reads_path": reads_path, "batch": batch_i,
-                "n_seg": store.n_seg, "windows": total_windows,
+                "n_seg": store.n_seg, "windows": total_windows, "done": done,
             }, f)
         os.replace(tmp, manifest_path)
 
@@ -299,35 +313,41 @@ def count_reads_kmers_spill(
             total_windows += int(cnts.sum())
             store.add_segment(keys, cnts)
 
-    for batch_i, batch in enumerate(iter_read_batches(reads_path)):
-        if batch_i < start_batch:
-            continue
-        for seq in batch:
-            if use_device:
-                a = upper(np.frombuffer(seq, dtype=np.uint8))
-                if a.shape[0] >= ref_k:
-                    pending.append(a)
-                    pending.append(_SEP)
-                    pending_n += a.shape[0]
-            elif native_reads:
-                if len(seq) >= ref_k:
-                    pending.append(seq)
-                    pending_n += len(seq) - ref_k + 1  # upper bound
-            else:
-                w = _windows_of_read(seq, ref_k)
-                if w.shape[0]:
-                    pending.append(w)
-                    pending_n += w.shape[0]
-            if pending_n >= chunk_kmers:
-                flush()
-        # batch boundary: anything flushed so far is fully committed
-        flush()
-        commit_manifest(batch_i + 1)
+    if not produced:
+        last_batch = start_batch
+        for batch_i, batch in enumerate(iter_read_batches(reads_path)):
+            if batch_i < start_batch:
+                continue
+            for seq in batch:
+                if use_device:
+                    a = upper(np.frombuffer(seq, dtype=np.uint8))
+                    if a.shape[0] >= ref_k:
+                        pending.append(a)
+                        pending.append(_SEP)
+                        pending_n += a.shape[0]
+                elif native_reads:
+                    if len(seq) >= ref_k:
+                        pending.append(seq)
+                        pending_n += len(seq) - ref_k + 1  # upper bound
+                else:
+                    w = _windows_of_read(seq, ref_k)
+                    if w.shape[0]:
+                        pending.append(w)
+                        pending_n += w.shape[0]
+                if pending_n >= chunk_kmers:
+                    flush()
+            # batch boundary: anything flushed so far is fully committed
+            flush()
+            commit_manifest(batch_i + 1)
+            last_batch = batch_i + 1
+        commit_manifest(last_batch, done=True)
 
     print(
         f"[malva-tpu/spill] {total_windows} k-mer occurrences in "
         f"{store.n_seg} segments; merging {n_buckets} buckets", file=log,
     )
+    if produce_only:
+        return None
 
     def merged():
         n_distinct = 0
@@ -343,3 +363,32 @@ def count_reads_kmers_spill(
             store.cleanup()
 
     return merged()
+
+
+def _produce_main(argv: list[str]) -> int:
+    """Producer child entry for the overlapped `run`:
+    ``python -m malva_tpu.count.spill <reads> <ref_k> <spill_dir>``.
+    Counts + spills only (no merge), never touches jax — safe to run
+    while the parent holds the (single-client) TPU tunnel."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="malva_tpu.count.spill")
+    ap.add_argument("reads")
+    ap.add_argument("ref_k", type=int)
+    ap.add_argument("spill_dir")
+    a = ap.parse_args(argv)
+    try:  # belt-and-braces: if anything touches jax, keep it off the
+        import jax  # (single-client) TPU tunnel the parent may hold
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    from ..utils.native import tune_malloc
+
+    tune_malloc()
+    count_reads_kmers_spill(a.reads, a.ref_k, a.spill_dir, produce_only=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(_produce_main(sys.argv[1:]))
