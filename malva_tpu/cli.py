@@ -88,15 +88,19 @@ def main(argv: list[str] | None = None) -> int:
     """Dispatch + the reference's one-line `ERROR:` exit contract for bad
     inputs (main.cpp:262-281): truncated/corrupt index files, malformed
     VCF/FASTQ, unsupported KMC databases and missing paths print a single
-    stderr line and exit 1 — never a traceback.  Genuine bugs still
-    traceback."""
+    stderr line and exit 1 — never a traceback.  Only the dedicated
+    InputError (raised at validated I/O boundaries) plus genuine
+    I/O-layer exceptions are caught; internal bugs (shape ValueErrors,
+    KeyErrors, ...) traceback so they stay diagnosable (ADVICE r4)."""
     import gzip
     import struct
     import zipfile
 
+    from .utils.errors import InputError
+
     try:
         return _main(argv)
-    except (ValueError, OSError, KeyError, EOFError, struct.error,
+    except (InputError, OSError, EOFError, struct.error,
             zipfile.BadZipFile, gzip.BadGzipFile, UnicodeDecodeError) as e:
         print(f"ERROR: {e}", file=sys.stderr)  # reference: main.cpp:269-277
         return 1

@@ -23,6 +23,8 @@ import os
 import sys
 import numpy as np
 
+from ..utils.errors import InputError
+
 from ..io.fasta import iter_read_batches
 from ..ops.seq import CODE_TABLE, canonical, pack_2bit, unpack_2bit, upper
 
@@ -104,7 +106,7 @@ def _parse_dump_block(block: bytes, ref_k: int) -> tuple[np.ndarray, np.ndarray]
         i = int(np.nonzero(bad)[0][0])
         line = block[starts[i] : ends[i]]
         tok = line.split()[0] if line.split() else b""
-        raise ValueError(f"kmc dump k-mer length {len(tok)} != ref_k {ref_k}")
+        raise InputError(f"kmc dump k-mer length {len(tok)} != ref_k {ref_k}")
     kmers = upper(a[starts[:, None] + np.arange(ref_k)])
     # positional integer parse of the count field (stops at any non-digit,
     # so trailing \r is harmless)

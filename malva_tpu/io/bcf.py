@@ -32,6 +32,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from ..utils.errors import InputError
+
 from .vcf import VECTOR_END, _SelList
 
 BCF_MAGIC = b"BCF\x02\x02"
@@ -85,7 +87,7 @@ class _Decoder:
             v = struct.unpack_from("<i", self.buf, self.off)[0]
             self.off += 4
         else:
-            raise ValueError(f"typed int with type {t}")
+            raise InputError(f"typed int with type {t}")
         return v
 
     def typed_string(self) -> bytes:
@@ -95,7 +97,7 @@ class _Decoder:
         if t == 0:
             return b""
         if t != 7:
-            raise ValueError(f"typed string with type {t}")
+            raise InputError(f"typed string with type {t}")
         s = self.buf[self.off : self.off + n]
         self.off += n
         return s
@@ -183,7 +185,7 @@ class BcfReader:
             self._fh = f
         magic = self._fh.read(5)
         if magic != BCF_MAGIC:
-            raise ValueError(f"not a BCF2.2 file: {path}")
+            raise InputError(f"not a BCF2.2 file: {path}")
         (l_text,) = struct.unpack("<I", self._fh.read(4))
         text = self._fh.read(l_text).rstrip(b"\x00").decode()
 
@@ -239,7 +241,7 @@ class BcfReader:
             name_to_i = {n: i for i, n in enumerate(self.sample_names)}
             missing = [w for w in wanted if w not in name_to_i]
             if missing:
-                raise ValueError(f"samples not in VCF: {missing[:5]}")
+                raise InputError(f"samples not in VCF: {missing[:5]}")
             sel = [name_to_i[w] for w in wanted]
         self.selected = _SelList(sel)
         self._gt_key = None

@@ -79,11 +79,12 @@ def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[by
     Strict 4-line FASTQ (the dominant read format) takes a bulk path:
     chunks split once at newlines and sequence lines are every 4th
     element — no per-line Python.  Each chunk validates the 4-line phase
-    ('@' headers, '+' separators); a violation before anything was
-    yielded (multi-line FASTQ, '@'-quirk FASTA) restarts cleanly with
-    the kseq-style parser, one after a yield means the stream switched
-    format mid-file — corrupt input, reported via the one-line ERROR
-    contract."""
+    ('@' headers, '+' separators); on ANY violation (multi-line/wrapped
+    FASTQ, '@'-quirk FASTA) the kseq-style parser restarts from the top
+    of the file and SKIPS the reads already yielded — safe because a
+    read is only ever yielded after its '+' line validated, at which
+    point both parsers agree on its sequence, so read index i means the
+    same record to both.  kseq reference: kseq.h via main.cpp:285-295."""
     f = _open(path)
     head = f.read(1)
     if head != b"@":
@@ -94,7 +95,7 @@ def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[by
     total = 0
     carry = b"@"
     phase = 0  # next unconsumed line's position mod 4
-    yielded = False
+    n_yielded = 0
     with f:
         while True:
             chunk = f.read(1 << 25)
@@ -116,34 +117,40 @@ def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[by
                         ok = False
                         break
             if not ok:
-                if not yielded:
-                    f.close()
-                    yield from _iter_read_batches_slow(path, batch_bases)
-                    return
-                raise ValueError(
-                    f"{path}: malformed FASTQ record mid-file (4-line "
-                    f"structure violated)"
-                )
+                f.close()
+                yield from _iter_read_batches_slow(path, batch_bases,
+                                                   skip=n_yielded)
+                return
             seqs = lines[(1 - phase) % 4 :: 4]
             for s in seqs:
                 batch.append(s.rstrip(b"\r"))
             total += sum(len(s) for s in seqs)
             phase = (phase + n) % 4
             if total >= batch_bases:
-                yield batch
-                yielded = True
-                batch = []
-                total = 0
+                held = None
+                if phase == 1 and batch:
+                    # the last read's '+' line is still unseen: hold it
+                    # back so every yielded read is validated (and the
+                    # skip-restart above stays exact)
+                    held = batch.pop()
+                if batch:
+                    yield batch
+                    n_yielded += len(batch)
+                batch = [held] if held is not None else []
+                total = len(held) if held is not None else 0
         if carry and phase == 1:  # trailing sequence line without newline
             batch.append(carry.rstrip(b"\r"))
     if batch:
         yield batch
 
 
-def _iter_read_batches_slow(path: str, batch_bases: int) -> Iterator[list[bytes]]:
+def _iter_read_batches_slow(path: str, batch_bases: int,
+                            skip: int = 0) -> Iterator[list[bytes]]:
     batch: list[bytes] = []
     total = 0
-    for _name, seq in iter_sequences(path):
+    for i, (_name, seq) in enumerate(iter_sequences(path)):
+        if i < skip:
+            continue
         batch.append(seq)
         total += len(seq)
         if total >= batch_bases:

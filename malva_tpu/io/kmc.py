@@ -49,6 +49,8 @@ import struct
 
 import numpy as np
 
+from ..utils.errors import InputError
+
 _PRE_MARKER = b"KMCP"
 _SUF_MARKER = b"KMCS"
 KMC2_VERSION = 0x200
@@ -67,7 +69,7 @@ def read_kmc_pre(prefix_path: str):
     with open(pre, "rb") as f:
         data = f.read()
     if data[:4] != _PRE_MARKER or data[-4:] != _PRE_MARKER:
-        raise ValueError(f"{pre}: bad KMCP markers")
+        raise InputError(f"{pre}: bad KMCP markers")
     header_offset = struct.unpack_from("<I", data, len(data) - 8)[0]
     version = struct.unpack_from("<I", data, len(data) - 12)[0]
     hdr_start = len(data) - 8 - header_offset
@@ -86,9 +88,9 @@ def read_kmc_pre(prefix_path: str):
     off += 8
     both_strands = data[off] == 0  # stored inverted ("one strand only")
     if mode != 0:
-        raise ValueError("quality-mode (Quake) KMC databases are unsupported")
+        raise InputError("quality-mode (Quake) KMC databases are unsupported")
     if counter_size not in (1, 2, 3, 4):
-        raise ValueError(f"unsupported counter_size {counter_size}")
+        raise InputError(f"unsupported counter_size {counter_size}")
 
     lut_end = hdr_start
     if version == KMC2_VERSION:
@@ -144,16 +146,16 @@ def iter_kmc_db(prefix_path: str, batch_kmers: int = 1 << 22):
     pref_mask = (1 << (2 * info["lut_prefix_length"])) - 1
     lut_c = np.minimum(lut.astype(np.int64), n)
     if int(_counts_from_lut(lut, n).sum()) != n:
-        raise ValueError(
+        raise InputError(
             f"{prefix_path}.kmc_pre: LUT covers "
             f"{int(_counts_from_lut(lut, n).sum())} of {n} records"
         )
     size = os.path.getsize(suf)
     if size != n * rec + 8:
-        raise ValueError(f"{suf}: {size - 8} record bytes != {n} x {rec}")
+        raise InputError(f"{suf}: {size - 8} record bytes != {n} x {rec}")
     with open(suf, "rb") as f:
         if f.read(4) != _SUF_MARKER:
-            raise ValueError(f"{suf}: bad KMCS markers")
+            raise InputError(f"{suf}: bad KMCS markers")
         at = 0
         while at < n:
             m = min(batch_kmers, n - at)
@@ -164,7 +166,7 @@ def iter_kmc_db(prefix_path: str, batch_kmers: int = 1 << 22):
             yield _decode_records(body, prefix_of, info)
             at += m
         if f.read(4) != _SUF_MARKER:
-            raise ValueError(f"{suf}: bad KMCS markers")
+            raise InputError(f"{suf}: bad KMCS markers")
 
 
 def read_kmc_db(prefix_path: str):
@@ -199,7 +201,7 @@ def write_kmc_db(prefix_path: str, kmers: np.ndarray, counts: np.ndarray,
     assert (k - lut_prefix_length) % 4 == 0
     codes = CODE_TABLE[kmers].astype(np.uint64)
     if np.any(codes > 3):
-        raise ValueError("KMC databases hold pure-ACGT k-mers")
+        raise InputError("KMC databases hold pure-ACGT k-mers")
 
     # sort by k-mer (2-bit order == ASCII order)
     keyw = np.zeros((n, (k + 31) // 32), dtype=np.uint64)
@@ -253,7 +255,7 @@ def load_kmc_db(prefix_path: str, ref_k: int):
     matching load_kmc_dump's contract (reference main.cpp:482-500)."""
     kmers, counts, info = read_kmc_db(prefix_path)
     if info["kmer_length"] != ref_k:
-        raise ValueError(
+        raise InputError(
             f"KMC database k={info['kmer_length']} != ref_k {ref_k}"
         )
     return kmers, counts

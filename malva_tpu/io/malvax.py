@@ -20,6 +20,8 @@ import struct
 
 import numpy as np
 
+from ..utils.errors import InputError
+
 from ..index.bloom_filter import BF
 from ..index.kmap import KMAP
 
@@ -45,7 +47,7 @@ class _Cursor:
     def take(self, n: int) -> bytes:
         b = self.data[self.pos : self.pos + n]
         if len(b) != n:
-            raise ValueError("truncated .malvax stream")
+            raise InputError("truncated .malvax stream")
         self.pos += n
         return b
 
@@ -71,7 +73,7 @@ def _read_bf(cur: _Cursor) -> BF:
     if mode:
         bf.switch_mode()
         if len(bf.counts) != len(cdata):
-            raise ValueError(
+            raise InputError(
                 f"counter length {len(cdata)} != popcount {len(bf.counts)} — corrupt index?"
             )
         bf.counts[:] = cdata.astype(np.uint32)

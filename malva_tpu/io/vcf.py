@@ -24,6 +24,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from ..utils.errors import InputError
+
 VECTOR_END = -(1 << 31)  # mirrors bcf_int32_vector_end's role as padding
 
 _GT_SPLIT = re.compile(r"([|/])")
@@ -259,7 +261,7 @@ class VcfReader:
                     self.sample_names = cols[9:]
                 break
             else:
-                raise ValueError(f"malformed VCF header line: {line[:80]}")
+                raise InputError(f"malformed VCF header line: {line[:80]}")
         # sample subsetting semantics of bcf_hdr_set_samples
         if samples == "-":
             self.selected = list(range(len(self.sample_names)))
@@ -269,7 +271,7 @@ class VcfReader:
             name_to_i = {n: i for i, n in enumerate(self.sample_names)}
             missing = [w for w in wanted if w not in name_to_i]
             if missing:
-                raise ValueError(f"samples not in VCF: {missing[:5]}")
+                raise InputError(f"samples not in VCF: {missing[:5]}")
             self.selected = [name_to_i[w] for w in wanted]
         self.selected = _SelList(self.selected)
 
@@ -284,7 +286,7 @@ class VcfReader:
                 # htslib rejects records with fewer than the 8 fixed
                 # columns ("Few fields"); a mid-record file truncation
                 # lands here
-                raise ValueError(
+                raise InputError(
                     f"{self.path}: malformed/truncated VCF record "
                     f"({len(cols)} of 8 required columns): "
                     f"{line[:60].decode('utf-8', 'replace')!r}"

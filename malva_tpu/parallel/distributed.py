@@ -39,7 +39,16 @@ from ..utils.config import Config
 
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Initialize jax.distributed (no-op when single-process)."""
+    """Initialize jax.distributed (no-op when single-process).
+
+    After init, every process allgathers its (num_processes, process_id)
+    view and the views must agree: jax takes both as LOCAL parameters, so
+    a process launched with a wrong --num-processes can otherwise join
+    the cluster and silently run with a divergent world view (observed:
+    a 2-vs-3 mismatch completed "successfully" with wrong ownership).
+    Inconsistency raises; if the divergent views deadlock the check
+    collective instead, the caller's watchdog converts the hang into a
+    one-line error (Gloo collectives hang on mismatch/peer loss)."""
     import jax
 
     if num_processes is None or num_processes <= 1:
@@ -49,6 +58,19 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+    from jax.experimental import multihost_utils
+
+    topo = np.asarray(multihost_utils.process_allgather(
+        np.array([num_processes, process_id], dtype=np.int32)
+    )).reshape(-1, 2)
+    ids = topo[:, 1].tolist()
+    if (topo.shape[0] != num_processes
+            or not (topo[:, 0] == num_processes).all()
+            or sorted(ids) != list(range(num_processes))):
+        raise RuntimeError(
+            f"inconsistent process topology: (num_processes, process_id) "
+            f"views = {topo.tolist()}"
+        )
 
 
 def host_shard(paths: list[str]) -> list[str]:

@@ -14,6 +14,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .utils.errors import InputError
+
 from .count.counter import count_reads_kmers, load_kmc_dump
 from .index.bloom_filter import BF
 from .index.kmap import KMAP
@@ -540,7 +542,7 @@ def load_index(path: str) -> Index:
     except (zipfile.BadZipFile, KeyError, ValueError, EOFError, OSError) as e:
         if isinstance(e, FileNotFoundError):
             raise
-        raise ValueError(
+        raise InputError(
             f"{path}: not a valid malva index (truncated or corrupt: {e}); "
             f"re-run `malva-tpu index`"
         ) from e
@@ -764,7 +766,7 @@ def _kmc_batches(cfg: Config, path: str):
 
     _, info = read_kmc_pre(path)
     if info["kmer_length"] != cfg.ref_k:
-        raise ValueError(
+        raise InputError(
             f"KMC database k={info['kmer_length']} != ref_k {cfg.ref_k}"
         )
     return iter_kmc_db(path)

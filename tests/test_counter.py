@@ -180,3 +180,27 @@ def test_device_count_ref_k_multiple_of_16(tmp_path, ref_k):
     )
     np.testing.assert_array_equal(host_k, dev_k)
     np.testing.assert_array_equal(host_c, dev_c)
+
+
+def test_wrapped_fastq_mid_file_falls_back(tmp_path):
+    """A valid multi-line (wrapped) FASTQ whose first wrapped record sits
+    past several fast-path yields must parse like the kseq-style parser,
+    not raise (ADVICE r4): the fast path restarts the slow parser and
+    skips the already-yielded (validated) reads."""
+    from malva_tpu.io.fasta import iter_read_batches, iter_sequences
+
+    p = tmp_path / "wrapped.fq"
+    with open(p, "w") as f:
+        for i in range(50):
+            f.write(f"@r{i}\n" + "ACGT" * 10 + "\n+\n" + "I" * 40 + "\n")
+        # wrapped record: sequence and quality split over two lines
+        f.write("@wrap\n" + "ACGT" * 5 + "\n" + "TTTT" * 5 + "\n+\n"
+                + "I" * 20 + "\n" + "J" * 20 + "\n")
+        for i in range(10):
+            f.write(f"@s{i}\n" + "GGCC" * 10 + "\n+\n" + "I" * 40 + "\n")
+
+    expected = [seq for _n, seq in iter_sequences(str(p))]
+    # tiny batch_bases forces several yields before the wrapped record
+    got = [r for b in iter_read_batches(str(p), batch_bases=200) for r in b]
+    assert got == expected
+    assert b"ACGT" * 5 + b"TTTT" * 5 in got  # the wrapped read, joined

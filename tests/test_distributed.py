@@ -73,6 +73,109 @@ def _launch(d, tmp_path, n_procs, spill, out):
     return errs
 
 
+def _args(d, port, n_procs, pid, out, extra=()):
+    return [
+        sys.executable, os.path.join(REPO, "tools", "run_distributed.py"),
+        "--coordinator", f"127.0.0.1:{port}",
+        "--num-processes", str(n_procs), "--process-id", str(pid),
+        "--out", str(out), "-1", "-b", "1", "-f", "AF", *extra,
+        str(d / "haploid.fa"), str(d / "haploid.vcf"),
+    ] + [str(d / f"reads{p}.fq") for p in range(4)]
+
+
+def _env():
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+@pytest.mark.slow
+def test_peer_death_aborts_with_one_line_error(split_inputs, tmp_path):
+    """Gloo collectives hang forever when a peer dies mid-run; the
+    --timeout watchdog converts that into a one-line ERROR exit
+    (VERDICT r4 ask #8)."""
+    import signal
+    import time
+
+    d = split_inputs
+    port = _free_port()
+    out = tmp_path / "dead.vcf"
+    p0 = subprocess.Popen(_args(d, port, 2, 0, out, ("--timeout", "25")),
+                          env=_env(), stdout=subprocess.DEVNULL,
+                          stderr=subprocess.PIPE)
+    p1 = subprocess.Popen(_args(d, port, 2, 1, out, ("--timeout", "25")),
+                          env=_env(), stdout=subprocess.DEVNULL,
+                          stderr=subprocess.DEVNULL)
+    time.sleep(5)
+    p1.send_signal(signal.SIGKILL)
+    _, err0 = p0.communicate(timeout=120)
+    p1.wait(timeout=30)
+    assert p0.returncode != 0
+    lines = [l for l in err0.decode(errors="replace").splitlines()
+             if l.startswith("ERROR:")]
+    assert len(lines) == 1 and "exceeded" in lines[0], err0.decode()
+
+
+@pytest.mark.slow
+def test_mismatched_topology_no_hang(split_inputs, tmp_path):
+    """Processes launched with inconsistent --num-processes must not hang:
+    init fails with a one-line ERROR or the watchdog fires."""
+    d = split_inputs
+    port = _free_port()
+    out = tmp_path / "mismatch.vcf"
+    p0 = subprocess.Popen(_args(d, port, 2, 0, out, ("--timeout", "20")),
+                          env=_env(), stdout=subprocess.DEVNULL,
+                          stderr=subprocess.PIPE)
+    p1 = subprocess.Popen(_args(d, port, 3, 1, out, ("--timeout", "20")),
+                          env=_env(), stdout=subprocess.DEVNULL,
+                          stderr=subprocess.PIPE)
+    errs = []
+    for p in (p0, p1):
+        _, err = p.communicate(timeout=120)
+        errs.append((p.returncode, err.decode(errors="replace")))
+    # at least one side must fail loudly, and any failure is one-line
+    assert any(rc != 0 for rc, _ in errs), errs
+    for rc, err in errs:
+        if rc != 0:
+            lines = [l for l in err.splitlines() if l.startswith("ERROR:")]
+            assert len(lines) == 1, err
+
+
+@pytest.mark.slow
+def test_rerun_after_mid_run_kill_matches_golden(split_inputs, tmp_path):
+    """Kill both processes mid-run, rerun with the SAME spill dirs and
+    output path: the rerun must complete and be byte-identical (spill
+    manifests resume or restart deterministically)."""
+    import signal
+    import time
+
+    d = split_inputs
+    out = tmp_path / "resume.vcf"
+    spills = [("--spill-dir", str(tmp_path / f"rspill{p}")) for p in (0, 1)]
+    port = _free_port()
+    procs = [
+        subprocess.Popen(_args(d, port, 2, p, out, spills[p]), env=_env(),
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for p in (0, 1)
+    ]
+    time.sleep(6)
+    for p in procs:
+        p.send_signal(signal.SIGKILL)
+    for p in procs:
+        p.wait(timeout=30)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(_args(d, port, 2, p, out, spills[p]), env=_env(),
+                         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+        for p in (0, 1)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode(errors="replace")
+    golden = open(os.path.join(REF_EXAMPLE, "haploid.malva.vcf")).read()
+    assert out.read_text() == golden
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("n_procs,spill", [(2, False), (2, True), (4, False)])
 def test_multi_process_pipeline_matches_golden(split_inputs, n_procs, spill,

@@ -25,6 +25,13 @@ def main() -> int:
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--spill-dir", default=None)
+    ap.add_argument("--timeout", type=float,
+                    default=float(os.environ.get("MALVA_DIST_TIMEOUT", 0)) or None,
+                    help="watchdog: abort with a one-line ERROR if the run "
+                         "has not completed after this many seconds.  Gloo "
+                         "collectives HANG when a peer dies or the topology "
+                         "is mismatched — without a timeout a lost peer "
+                         "stalls the cluster forever")
     ap.add_argument("-1", dest="haploid", action="store_true")
     ap.add_argument("-k", type=int, default=35)
     ap.add_argument("-r", type=int, default=43)
@@ -41,6 +48,23 @@ def main() -> int:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    watchdog = None
+    if a.timeout:
+        import threading
+
+        def _die():
+            print(
+                f"ERROR: distributed run exceeded {a.timeout:.0f}s "
+                f"(peer lost mid-collective or process topology mismatch); "
+                f"aborting", file=sys.stderr,
+            )
+            sys.stderr.flush()
+            os._exit(1)
+
+        watchdog = threading.Timer(a.timeout, _die)
+        watchdog.daemon = True
+        watchdog.start()
+
     import numpy as np
 
     from malva_tpu.parallel.distributed import (
@@ -49,7 +73,11 @@ def main() -> int:
     from malva_tpu.pipeline import build_index
     from malva_tpu.utils.config import Config
 
-    initialize(a.coordinator, a.num_processes, a.process_id)
+    try:
+        initialize(a.coordinator, a.num_processes, a.process_id)
+    except Exception as e:  # mirror the CLI's one-line ERROR contract
+        print(f"ERROR: distributed init failed: {e}", file=sys.stderr)
+        return 1
 
     cfg = Config(
         fasta_path=a.reference,
@@ -76,6 +104,8 @@ def main() -> int:
     call_distributed(cfg, index, a.reads, out, spill_dir=a.spill_dir)
     if jax.process_index() == 0:
         out.close()
+    if watchdog is not None:
+        watchdog.cancel()
     return 0
 
 
