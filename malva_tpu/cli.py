@@ -191,18 +191,23 @@ def _main(argv: list[str] | None = None) -> int:
     # KMC before index, MALVA:107-121).
     path = cfg.index_path()
     producer = None
+    saver = None
     if os.path.exists(path):
         print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
         index = load_index(path)
     else:
         producer = _start_count_producer(cfg)
         index = build_index(cfg, timer)
-        _try_save_index(index, path, timer)
+        from .pipeline import save_index_async
+
+        saver = save_index_async(index, path)  # write overlaps the call
         if producer is not None:
             _finish_count_producer(producer, cfg, timer)
     try:
         call(cfg, index, sys.stdout, timer)
     finally:
+        if saver is not None:
+            saver.join()
         if producer is not None and producer[2]:
             import shutil
 

@@ -75,13 +75,19 @@ class SpillStore:
     def add_segment(self, keys: np.ndarray, cnts: np.ndarray) -> None:
         """Partition one chunk's distinct runs by bucket and commit as a
         segment (atomic: tmp files + rename, offsets last)."""
-        b = _bucket_of(keys, self.n_buckets)
-        order = np.argsort(b, kind="stable")
-        keys = keys[order]
-        cnts = cnts[order].astype(np.uint32)
-        offs = np.zeros(self.n_buckets + 1, dtype=np.int64)
-        np.add.at(offs, b + 1, 1)
-        offs = np.cumsum(offs)
+        from ..utils import native
+
+        part = native.bucket_partition(keys, cnts, self.n_buckets)
+        if part is not None:  # one native O(n) stable scatter
+            keys, cnts, offs = part
+        else:
+            b = _bucket_of(keys, self.n_buckets)
+            order = np.argsort(b, kind="stable")
+            keys = keys[order]
+            cnts = np.asarray(cnts)[order].astype(np.uint32)
+            offs = np.zeros(self.n_buckets + 1, dtype=np.int64)
+            np.add.at(offs, b + 1, 1)
+            offs = np.cumsum(offs)
         pk, pc, po = self._seg_paths(self.n_seg)
         for path, arr in [(pk, keys), (pc, cnts), (po, offs)]:
             np.save(path + ".tmp.npy", arr)
@@ -288,7 +294,9 @@ def count_reads_kmers_spill(
             packed = native.read_kmers(pending, ref_k)
             pending = []
             pending_n = 0
-            keys, cnts = _sorted_counts(packed)
+            # in-place sort: packed is disposable (the partition copies)
+            out = native.sort_count_inplace(packed)
+            keys, cnts = out if out is not None else _sorted_counts(packed)
             if keys.shape[0]:
                 total_windows += int(cnts.sum())
                 store.add_segment(keys, cnts)

@@ -487,12 +487,46 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
 
 
 def save_index(index: Index, path: str) -> None:
+    _save_state(_index_state(index), path)
+
+
+def save_index_async(index: Index, path: str):
+    """Write a freshly BUILT index in a background thread (the write
+    overlaps the call phase in `run`).  Counter planes are snapshotted as
+    zeros — they are zero right after build, and the call phase mutates
+    them in place, while a saved index must carry pristine counters.
+    Returns the thread (join before exiting); write failures log one
+    stderr line (the in-memory index is still good)."""
+    import threading
+
+    st = _index_state(index)
+    for k in ("bf_counts", "ctx_counts", "kmap_vals"):
+        if k in st:
+            st[k] = np.zeros_like(st[k])
+
+    def write():
+        try:
+            _save_state(st, path)
+        except OSError as e:
+            print(f"[malva-tpu] index not saved ({e}); continuing",
+                  file=sys.stderr)
+
+    t = threading.Thread(target=write, daemon=True)
+    t.start()
+    return t
+
+
+def _index_state(index: Index) -> dict:
     st = {}
     for name, obj in [("bf", index.bf), ("ctx", index.context_bf)]:
         for k, v in obj.state().items():
             st[f"{name}_{k}"] = v
     for k, v in index.ref_bf.state().items():
         st[f"kmap_{k}"] = v
+    return st
+
+
+def _save_state(st: dict, path: str) -> None:
     # The Bloom word arrays are GiB-sized and mostly zero at any realistic
     # fill; zlib-inflating them dominated index load (23 s for a -b 1 pair
     # at chr scale).  Store them sparse (nonzero index + value), and write
@@ -521,7 +555,8 @@ def _write_npz_mixed(path: str, arrays: dict, stored: set) -> None:
 
     if not path.endswith(".npz"):
         path += ".npz"
-    with zipfile.ZipFile(path, "w", allowZip64=True) as zf:
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", allowZip64=True) as zf:
         for name, arr in arrays.items():
             buf = io.BytesIO()
             np.lib.format.write_array(buf, np.asarray(arr), allow_pickle=False)
@@ -531,6 +566,7 @@ def _write_npz_mixed(path: str, arrays: dict, stored: set) -> None:
             else:
                 zf.writestr(name + ".npy", buf.getvalue(),
                             compress_type=zipfile.ZIP_DEFLATED, compresslevel=1)
+    os.replace(tmp, path)  # atomic: a crashed writer leaves no index
 
 
 def load_index(path: str) -> Index:
@@ -696,6 +732,39 @@ def _weights_from_planes(qinfo: list, bf_plane: np.ndarray,
     return w_flat
 
 
+def _prefetch(it, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue: the
+    spill merge (disk reads + native sort/merge, GIL-released) overlaps
+    the counter application (native scatter/search) instead of
+    serializing bucket-by-bucket."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+    err: list = []
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        x = q.get()
+        if x is done:
+            break
+        yield x
+    t.join()
+    if err:
+        raise err[0]
+
+
 def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = None) -> None:
     timer = timer or PhaseTimer()
     refs = load_reference(cfg.fasta_path, cfg.strip_chr)
@@ -727,7 +796,7 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
 
             apply_sample_counts_stream(index, batches, cfg)
         else:
-            for keys, cnts in batches:
+            for keys, cnts in _prefetch(batches):
                 apply_sample_counts(index, keys, cnts, cfg)
         timer.pelapsed("Sample k-mer counting + BF weights (spill)")
     elif cfg.from_kmc_dump or cfg.from_kmc_db:

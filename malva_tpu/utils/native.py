@@ -334,6 +334,29 @@ def sort_count(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray] | None":
     return k2[:u, :W].copy(), cnts[:u].copy()
 
 
+def bucket_partition(keys: np.ndarray, cnts: np.ndarray, n_buckets: int):
+    """Stable spill-bucket partition of (n, w<=2) u64 rows + counts:
+    (keys_bucket_major, cnts, offs[n_buckets+1]) or None.  Bit-identical
+    to count.spill._bucket_of (see malva_bucket_partition)."""
+    lib = load()
+    if (lib is None or keys.ndim != 2 or keys.shape[1] > 2
+            or keys.dtype != np.uint64):
+        return None
+    n, w = keys.shape
+    shift = 64 - (int(n_buckets).bit_length() - 1)
+    keys = np.ascontiguousarray(keys)
+    cnts = np.ascontiguousarray(cnts, dtype=np.uint32)
+    out_k = np.empty_like(keys)
+    out_c = np.empty(n, dtype=np.uint32)
+    offs = np.empty(n_buckets + 1, dtype=np.int64)
+    lib.malva_bucket_partition(
+        keys.ctypes.data_as(_U64P), cnts.ctypes.data_as(_U32P), n, w, shift,
+        n_buckets, out_k.ctypes.data_as(_U64P), out_c.ctypes.data_as(_U32P),
+        offs.ctypes.data_as(_I64P),
+    )
+    return out_k, out_c, offs
+
+
 def merge_runs(keys_a, cnt_a, keys_b, cnt_b) -> "tuple[np.ndarray, np.ndarray] | None":
     """Linear merge of two sorted distinct (key, count) runs, summing
     counts; None when unavailable or rows wider than 2 words."""

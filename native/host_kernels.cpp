@@ -15,6 +15,7 @@
 #include <cstring>
 #include <vector>
 #if defined(_OPENMP)
+#include <omp.h>
 #include <parallel/algorithm>
 #endif
 
@@ -816,6 +817,62 @@ int64_t malva_merge_runs(const uint64_t* ka, const int64_t* ca, int64_t na,
   while (i < na) { o[m] = a[i]; co[m++] = ca[i++]; }
   while (j < nb) { o[m] = b[j]; co[m++] = cb[j++]; }
   return m;
+}
+
+// Stable partition of (n, w<=2) u64 key rows (+ u32 counts) into spill
+// buckets — replaces the numpy argsort+double-gather in
+// SpillStore.add_segment (was ~60% of segment commit time).  The bucket
+// hash MUST stay bit-identical to count/spill.py _bucket_of: segments of
+// one store may be written by either path (resume), and a key landing in
+// different buckets across segments would be merged as two distinct keys
+// (breaking the global ci threshold).  Rows keep input order within each
+// bucket (the per-bucket merge relies on sorted runs).
+void malva_bucket_partition(const uint64_t* keys, const uint32_t* cnts,
+                            int64_t n, int64_t w, int64_t shift,
+                            int64_t n_buckets, uint64_t* out_keys,
+                            uint32_t* out_cnts, int64_t* offs) {
+  const uint64_t M0 = 0x9E3779B97F4A7C15ULL, M1 = 0xC2B2AE3D27D4EB4FULL;
+  int T = 1;
+#if defined(_OPENMP)
+  T = omp_get_max_threads();
+#endif
+  if (n < (int64_t)1 << 16) T = 1;
+  const int64_t chunk = (n + T - 1) / T;
+  std::vector<int64_t> hist((size_t)T * n_buckets, 0);
+  auto bucket_of = [&](int64_t i) {
+    uint64_t h = keys[i * w] * M0;
+    if (w == 2) h ^= keys[i * w + 1] * M1;
+    h *= M0;
+    return (int64_t)(h >> shift);
+  };
+#pragma omp parallel for num_threads(T) schedule(static, 1)
+  for (int t = 0; t < T; ++t) {
+    const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    int64_t* hh = hist.data() + (size_t)t * n_buckets;
+    for (int64_t i = lo; i < hi; ++i) ++hh[bucket_of(i)];
+  }
+  // bucket-major exclusive offsets, chunk order preserved within bucket
+  std::vector<int64_t> pos((size_t)T * n_buckets);
+  int64_t acc = 0;
+  for (int64_t b = 0; b < n_buckets; ++b) {
+    offs[b] = acc;
+    for (int t = 0; t < T; ++t) {
+      pos[(size_t)t * n_buckets + b] = acc;
+      acc += hist[(size_t)t * n_buckets + b];
+    }
+  }
+  offs[n_buckets] = acc;
+#pragma omp parallel for num_threads(T) schedule(static, 1)
+  for (int t = 0; t < T; ++t) {
+    const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    int64_t* pp = pos.data() + (size_t)t * n_buckets;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t o = pp[bucket_of(i)]++;
+      out_keys[o * w] = keys[i * w];
+      if (w == 2) out_keys[o * w + 1] = keys[i * w + 1];
+      out_cnts[o] = cnts[i];
+    }
+  }
 }
 
 }  // extern "C"

@@ -162,3 +162,31 @@ def test_spill_e2e_haploid_byte_identical(tmp_path, haploid_inputs):
     call(cfg, index, out)
     golden = open("/root/reference/example/haploid.malva.vcf").read()
     assert out.getvalue() == golden
+
+
+def test_native_bucket_partition_parity():
+    """native.bucket_partition must stay bit-identical to _bucket_of
+    (a divergence would split one key across buckets between segments of
+    one store, breaking the global ci threshold)."""
+    import numpy as np
+
+    from malva_tpu.count.spill import _bucket_of
+    from malva_tpu.utils import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for w in (1, 2):
+        for n in (0, 1, 17, 50000):
+            keys = rng.integers(0, 1 << 63, size=(n, w), dtype=np.uint64)
+            cnts = rng.integers(1, 300, size=n).astype(np.uint32)
+            ok, oc, offs = native.bucket_partition(keys, cnts, 1024)
+            b = _bucket_of(keys, 1024)
+            order = np.argsort(b, kind="stable")
+            assert (ok == keys[order]).all()
+            assert (oc == cnts[order]).all()
+            ref = np.zeros(1025, np.int64)
+            np.add.at(ref, b + 1, 1)
+            assert (offs == np.cumsum(ref)).all()
