@@ -915,7 +915,11 @@ def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) 
     out.write(cleaned_header(reader.meta_lines, cfg.verbose))
 
     n = 0
-    for flat in _iter_pass2_batches(cfg, refs):
+    # prefetch: the producer side (record scan + GT parse + native
+    # extraction) overlaps the consumer side (coverage queries +
+    # genotyping + formatting) — both halves spend most of their time in
+    # GIL-releasing native kernels, so the Python halves hide behind them
+    for flat in _prefetch(_iter_pass2_batches(cfg, refs)):
         _set_coverages_flat(index, flat)
         genotype_block(flat.all_vars, cfg.max_coverage, cfg.haploid,
                        cfg.error_rate)
@@ -1034,7 +1038,7 @@ def call_batch(
     for out in outs:
         out.write(header)
     n = 0
-    for flat in _iter_pass2_batches(cfg, refs):
+    for flat in _prefetch(_iter_pass2_batches(cfg, refs)):
         qinfo = _flat_query_info(index, flat)  # resolve queries ONCE
         for (bf_plane, kmap_plane), out in zip(planes, outs):
             for v in flat.all_vars:
