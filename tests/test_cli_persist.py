@@ -54,3 +54,19 @@ def test_batch_persists_index(tmp_path, capsys):
     cap2 = capsys.readouterr()
     assert "reusing index" in cap2.err
     assert (out_dir / "s.malva.vcf").read_text() == vcf_out
+
+
+def test_saved_index_counters_pristine(tmp_path, capsys):
+    """run saves the index asynchronously WHILE the call phase mutates
+    the counter planes in place — the saved file must carry zero
+    counters (a reused index starts pristine, like one from `index`)."""
+    import numpy as np
+
+    from malva_tpu.pipeline import load_index
+
+    fa, vcf, fq = _inputs(tmp_path)
+    assert cli.main(["run", "-b", "1", str(fa), str(vcf), str(fq)]) == 0
+    capsys.readouterr()
+    idx = load_index(str(vcf) + ".c43.k35.malvax.npz")
+    assert (np.asarray(idx.bf.counts) == 0).all()
+    assert all(v == 0 for v in idx.ref_bf.kmers.values())
