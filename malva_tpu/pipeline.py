@@ -293,24 +293,29 @@ def _resolve_gts(variants: list) -> None:
     pend = [(v, *v._gt_src) for v in variants if v._gt_src is not None]
     if not pend:
         return
-    need = [(v, rec, gt_at) for v, _ctx, rec, gt_at in pend if gt_at >= 0]
+    all_need = [(v, rec, gt_at) for v, _ctx, rec, gt_at in pend if gt_at >= 0]
     ctx = pend[0][1]
-    res = native.parse_gt_batch(
-        [rec._samples_bytes() for _, rec, _ in need],
-        [g for _, _, g in need], ctx.n_samples,
-    ) if (need and ctx.use_batch) else None
-    if res is None:
-        for v, rec, _ in need:
-            v._extract_genotypes(rec, ctx.selected)
-    else:
-        a1, a2, ph, ok = res
-        for r, (v, rec, _) in enumerate(need):
-            if ok[r]:
-                v.gt_a1 = a1[r]
-                v.gt_a2 = a2[r]
-                v.phase = ph[r]
-            else:
+    # chunk the native calls: an extraction batch is EXTRACT_VARS records,
+    # and at cohort width the decoded GT arrays are ~1 GB per 4096x28k
+    # call — PARSE_RECS-sized pieces keep allocations bounded
+    for lo in range(0, len(all_need), PARSE_RECS):
+        need = all_need[lo : lo + PARSE_RECS]
+        res = native.parse_gt_batch(
+            [rec._samples_bytes() for _, rec, _ in need],
+            [g for _, _, g in need], ctx.n_samples,
+        ) if (need and ctx.use_batch) else None
+        if res is None:
+            for v, rec, _ in need:
                 v._extract_genotypes(rec, ctx.selected)
+        else:
+            a1, a2, ph, ok = res
+            for r, (v, rec, _) in enumerate(need):
+                if ok[r]:
+                    v.gt_a1 = a1[r]
+                    v.gt_a2 = a2[r]
+                    v.phase = ph[r]
+                else:
+                    v._extract_genotypes(rec, ctx.selected)
     for v, _ctx, rec, gt_at in pend:
         if gt_at < 0:
             v._extract_genotypes(rec, _ctx.selected)
