@@ -90,6 +90,26 @@ def main() -> int:
         freq_key=a.freq_key,
         haploid=a.haploid,
     )
+    # overlap (mirrors the single-host `run`): each host's spill-count
+    # producers run in helper processes while the sharded index builds;
+    # count_distributed later resumes the completed stores at the merge.
+    # Production is ci/cs-independent (thresholds apply at the merge),
+    # so the producer's defaults compose with count_distributed's raw
+    # ci=1 merge.
+    producers = []
+    if a.spill_dir and not os.environ.get("MALVA_NO_OVERLAP"):
+        import subprocess
+
+        from malva_tpu.parallel.distributed import host_shard
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        for i, path in enumerate(host_shard(a.reads)):
+            producers.append(subprocess.Popen(
+                [sys.executable, "-m", "malva_tpu.count.spill",
+                 path, str(a.r), f"{a.spill_dir}/h{a.process_id}_{i}"],
+                env=env, stdout=subprocess.DEVNULL,
+            ))
+
     # index phase sharded across processes (batches round-robin, merged
     # bit planes + deterministic key union); single-process keeps the
     # in-process builder
@@ -97,6 +117,12 @@ def main() -> int:
         index = build_index_distributed(cfg)
     else:
         index = build_index(cfg)
+    for p in producers:
+        if p.wait() != 0:
+            print(
+                "[malva-tpu/dist] overlapped counting producer failed; "
+                "counting will resume/restart inline", file=sys.stderr,
+            )
     if jax.process_index() == 0:
         out = open(a.out, "w")
     else:
