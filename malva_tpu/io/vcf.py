@@ -131,20 +131,31 @@ class VcfRecord:
         return self._fields
 
     def info_floats(self, key: str) -> Optional[list[np.float32]]:
-        """Float values of an INFO key, or None if absent (bcf_get_info_float)."""
-        for item in self.info.split(";"):
-            if item.startswith(key):
-                rest = item[len(key):]
-                if rest == "":
+        """Float values of an INFO key, or None if absent
+        (bcf_get_info_float).  Scans key occurrences at segment
+        boundaries instead of splitting the whole INFO string — this
+        runs once per record and INFO can be long; semantics match the
+        old per-segment scan (first segment that IS the key or starts
+        with ``key=`` wins)."""
+        info = self.info
+        lk = len(key)
+        at = info.find(key)
+        while at != -1:
+            if at == 0 or info[at - 1] == ";":
+                end = at + lk
+                if end == len(info) or info[end] == ";":
                     return []
-                if rest[0] == "=":
+                if info[end] == "=":
+                    seg_end = info.find(";", end)
+                    seg = info[end + 1 : None if seg_end == -1 else seg_end]
                     out = []
-                    for tok in rest[1:].split(","):
+                    for tok in seg.split(","):
                         try:
                             out.append(np.float32(tok))
                         except ValueError:
                             out.append(np.float32("nan"))
                     return out
+            at = info.find(key, at + 1)
         return None
 
     def qual(self) -> np.float32:

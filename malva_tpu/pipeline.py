@@ -741,7 +741,13 @@ def _prefetch(it, depth: int = 2):
     """Run an iterator in a background thread with a bounded queue: the
     spill merge (disk reads + native sort/merge, GIL-released) overlaps
     the counter application (native scatter/search) instead of
-    serializing bucket-by-bucket."""
+    serializing bucket-by-bucket.
+
+    The worker starts EAGERLY (on call, not on first next()): callers
+    create the pass-2 extraction pipeline before the counting phase so
+    its producer packs otherwise-idle cycles (extraction never reads the
+    counter planes, only `_set_coverages_flat` on the consumer side
+    does)."""
     import queue
     import threading
 
@@ -760,20 +766,34 @@ def _prefetch(it, depth: int = 2):
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        x = q.get()
-        if x is done:
-            break
-        yield x
-    t.join()
-    if err:
-        raise err[0]
+
+    def gen():
+        while True:
+            x = q.get()
+            if x is done:
+                break
+            yield x
+        t.join()
+        if err:
+            raise err[0]
+
+    return gen()
 
 
 def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = None) -> None:
     timer = timer or PhaseTimer()
     refs = load_reference(cfg.fasta_path, cfg.strip_chr)
     timer.pelapsed("Reference processed")
+
+    # pass-2 extraction starts NOW, overlapped with the counting phase:
+    # its producer (record scan + GT parse + native extraction) never
+    # reads the counter planes — only the coverage/genotyping consumer
+    # does, and that consumer starts after counting below.  The bounded
+    # queue caps memory at ~depth extraction batches.
+    pass2 = _prefetch(
+        _iter_pass2_batches(cfg, refs),
+        depth=int(os.environ.get("MALVA_PASS2_PREFETCH", 32)),
+    )
 
     if cfg.spill_dir and not (cfg.from_kmc_dump or cfg.from_kmc_db):
         # bounded-memory counting: distinct k-mers stream bucket-by-bucket
@@ -825,7 +845,7 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
             apply_sample_counts(index, contexts, counts, cfg)
         timer.pelapsed("BF weights created")
 
-    _genotype_and_emit(cfg, index, refs, out, timer)
+    _genotype_and_emit(cfg, index, refs, out, timer, batches=pass2)
 
 
 def _kmc_batches(cfg: Config, path: str):
@@ -915,7 +935,8 @@ def _as_ascii(contexts: np.ndarray, ref_k: int) -> np.ndarray:
     return unpack_2bit(contexts, ref_k) if contexts.dtype == np.uint64 else contexts
 
 
-def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) -> None:
+def _genotype_and_emit(cfg: Config, index: Index, refs, out,
+                       timer: PhaseTimer, batches=None) -> None:
     reader = open_variant_reader(cfg.vcf_path, cfg.samples)
     out.write(cleaned_header(reader.meta_lines, cfg.verbose))
 
@@ -923,8 +944,12 @@ def _genotype_and_emit(cfg: Config, index: Index, refs, out, timer: PhaseTimer) 
     # prefetch: the producer side (record scan + GT parse + native
     # extraction) overlaps the consumer side (coverage queries +
     # genotyping + formatting) — both halves spend most of their time in
-    # GIL-releasing native kernels, so the Python halves hide behind them
-    for flat in _prefetch(_iter_pass2_batches(cfg, refs)):
+    # GIL-releasing native kernels, so the Python halves hide behind
+    # them.  ``batches`` may be a prefetch started earlier (call() hands
+    # one over so extraction overlaps the counting phase too).
+    if batches is None:
+        batches = _prefetch(_iter_pass2_batches(cfg, refs))
+    for flat in batches:
         _set_coverages_flat(index, flat)
         genotype_block(flat.all_vars, cfg.max_coverage, cfg.haploid,
                        cfg.error_rate)

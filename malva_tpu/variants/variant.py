@@ -57,8 +57,15 @@ class Variant:
         self.has_alts = bool(self.alts)
         self.is_present = True
         if self.has_alts:
-            self.min_size = min(self.ref_size, *(len(a) for a in self.alts))
-            self.max_size = max(self.ref_size, *(len(a) for a in self.alts))
+            mn = mx = self.ref_size
+            for a in self.alts:
+                la = len(a)
+                if la < mn:
+                    mn = la
+                elif la > mx:
+                    mx = la
+            self.min_size = mn
+            self.max_size = mx
             self._extract_frequencies(rec, freq_key, uniform)
             if self.is_present and not skip_gt:
                 self._extract_genotypes(rec, selected)
