@@ -131,7 +131,7 @@ def _main(argv: list[str] | None = None) -> int:
             path = cfg.index_path().replace(".malvax.npz", ".malvax.zst")
             write_malvax(index, path)
         else:
-            save_index(index, cfg.index_path())
+            save_index(index, cfg.index_path(), cfg)
         timer.pelapsed("Index saved")
         return 0
 
@@ -157,12 +157,22 @@ def _main(argv: list[str] | None = None) -> int:
         from .pipeline import call_batch
 
         path = cfg.index_path()
+        index = None
         if os.path.exists(path):
-            print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
-            index = load_index(path)
-        else:
+            from .pipeline import index_matches_config
+
+            ok, why = index_matches_config(path, cfg)
+            if ok:
+                print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
+                index = load_index(path)
+            else:
+                print(
+                    f"[malva-tpu] existing index {path} was built with "
+                    f"different options ({why}); rebuilding", file=sys.stderr,
+                )
+        if index is None:
             index = build_index(cfg, timer)
-            _try_save_index(index, path, timer)
+            _try_save_index(index, path, cfg, timer)
         os.makedirs(args.out_dir, exist_ok=True)
         outs = []
         names = []
@@ -192,15 +202,41 @@ def _main(argv: list[str] | None = None) -> int:
     path = cfg.index_path()
     producer = None
     saver = None
+    index = None
     if os.path.exists(path):
-        print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
-        index = load_index(path)
-    else:
-        producer = _start_count_producer(cfg)
-        index = build_index(cfg, timer)
+        from .pipeline import index_matches_config
+
+        ok, why = index_matches_config(path, cfg)
+        if ok:
+            print(f"[malva-tpu] reusing index {path}", file=sys.stderr)
+            index = load_index(path)
+        else:
+            # the index path is keyed only by (vcf, ref_k, k) — the
+            # upstream contract (MALVA:113-118) — so a persisted index
+            # built under different -b/-s/-u/-1/-f would silently change
+            # output; the fingerprint check rebuilds instead
+            print(
+                f"[malva-tpu] existing index {path} was built with "
+                f"different options ({why}); rebuilding", file=sys.stderr,
+            )
+    if index is None:
+        try:
+            producer = _start_count_producer(cfg)
+            index = build_index(cfg, timer)
+        except BaseException:
+            # don't orphan the counting helper (it would keep burning
+            # CPU on a doomed run) or leak its temp spill dir
+            if producer is not None:
+                producer[0].kill()
+                producer[0].wait()
+                if producer[2]:
+                    import shutil
+
+                    shutil.rmtree(producer[1], ignore_errors=True)
+            raise
         from .pipeline import save_index_async
 
-        saver = save_index_async(index, path)  # write overlaps the call
+        saver = save_index_async(index, path, cfg)  # write overlaps the call
         if producer is not None:
             _finish_count_producer(producer, cfg, timer)
     try:
@@ -279,13 +315,13 @@ def _finish_count_producer(producer, cfg: Config, timer: PhaseTimer) -> None:
     timer.pelapsed("Sample k-mer counting (overlapped with index phase)")
 
 
-def _try_save_index(index, path: str, timer: PhaseTimer) -> None:
+def _try_save_index(index, path: str, cfg: Config, timer: PhaseTimer) -> None:
     """Persist the index `run`/`batch` just built so consecutive runs can
     reuse it (the MALVA driver's skip-if-exists intent, MALVA:113-118 —
     its check is broken upstream and the index is always rebuilt there).
     Save failure is not fatal: the in-memory index is still good."""
     try:
-        save_index(index, path)
+        save_index(index, path, cfg)
         timer.pelapsed("Index saved")
     except OSError as e:
         print(f"[malva-tpu] index not saved ({e}); continuing", file=sys.stderr)

@@ -50,6 +50,8 @@ _MIX = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
 
 
 def _bucket_of(keys_u64: np.ndarray, n_buckets: int) -> np.ndarray:
+    if n_buckets <= 1:  # a 64-bit shift is platform-undefined
+        return np.zeros(keys_u64.shape[0], dtype=np.int64)
     h = np.zeros(keys_u64.shape[0], dtype=np.uint64)
     for j in range(keys_u64.shape[1]):
         h ^= keys_u64[:, j] * _MIX[j % len(_MIX)]

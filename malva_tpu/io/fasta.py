@@ -73,7 +73,8 @@ def load_reference(path: str, strip_chr: bool = False) -> dict[str, np.ndarray]:
     return refs
 
 
-def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[bytes]]:
+def iter_read_batches(path: str, batch_bases: int = 1 << 26,
+                      chunk_bytes: int = 1 << 25) -> Iterator[list[bytes]]:
     """Yield lists of read sequences totalling ~batch_bases each.
 
     Strict 4-line FASTQ (the dominant read format) takes a bulk path:
@@ -98,7 +99,7 @@ def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[by
     n_yielded = 0
     with f:
         while True:
-            chunk = f.read(1 << 25)
+            chunk = f.read(chunk_bytes)
             if not chunk:
                 break
             lines = (carry + chunk).split(b"\n")
@@ -128,10 +129,15 @@ def iter_read_batches(path: str, batch_bases: int = 1 << 26) -> Iterator[list[by
             phase = (phase + n) % 4
             if total >= batch_bases:
                 held = None
-                if phase == 1 and batch:
-                    # the last read's '+' line is still unseen: hold it
-                    # back so every yielded read is validated (and the
-                    # skip-restart above stays exact)
+                if phase == 2 and batch:
+                    # phase 2 = the next expected line is this record's
+                    # '+' separator, i.e. the seq line just appended is
+                    # still UNVALIDATED (a wrapped record's continuation
+                    # could follow instead): hold it back so every
+                    # yielded read is '+'-validated and the skip-restart
+                    # above stays exact.  (phase 1 = next line is a seq
+                    # line, so the last appended read already passed its
+                    # '+' check.)
                     held = batch.pop()
                 if batch:
                     yield batch

@@ -95,7 +95,10 @@ def _encode_gt(gt: str) -> tuple[int, ...]:
 def _enc_allele(token: str, phased: int) -> int:
     if token == "." or token == "":
         return 0 | phased  # missing: bcf_gt_allele -> -1
-    return ((int(token) + 1) << 1) | phased
+    try:
+        return ((int(token) + 1) << 1) | phased
+    except ValueError as e:  # malformed user input, not an internal bug
+        raise InputError(f"malformed GT allele {token!r}") from e
 
 
 @dataclass
@@ -161,7 +164,10 @@ class VcfRecord:
     def qual(self) -> np.float32:
         if self.qual_raw == "." or self.qual_raw == "":
             return np.float32("nan")
-        return np.float32(self.qual_raw)
+        try:
+            return np.float32(self.qual_raw)
+        except ValueError as e:
+            raise InputError(f"malformed VCF QUAL {self.qual_raw!r}") from e
 
     def genotypes_arrays(self, selected) -> Optional[tuple[np.ndarray, int]]:
         """htslib-encoded GT matrix over the selected samples.
@@ -305,7 +311,7 @@ class VcfReader:
             head = [c.decode("utf-8", "replace") for c in cols[:9]]
             yield VcfRecord(
                 chrom=head[0],
-                pos0=int(head[1]) - 1,
+                pos0=_parse_pos(head[1], self.path, line),
                 idx=head[2],
                 ref=head[3],
                 alts_raw=head[4].split(",") if head[4] != "." else [],
@@ -317,6 +323,16 @@ class VcfReader:
                 n_samples=n,
             )
         self._fh.close()
+
+
+def _parse_pos(tok: str, path: str, line: bytes) -> int:
+    try:
+        return int(tok) - 1
+    except ValueError as e:
+        raise InputError(
+            f"{path}: malformed VCF POS {tok!r}: "
+            f"{line[:60].decode('utf-8', 'replace')!r}"
+        ) from e
 
 
 def open_variant_reader(path: str, samples: str = "-"):

@@ -491,11 +491,24 @@ def build_index(cfg: Config, timer: PhaseTimer | None = None) -> Index:
     return Index(bf=bf, ref_bf=ref_bf, context_bf=context_bf)
 
 
-def save_index(index: Index, path: str) -> None:
-    _save_state(_index_state(index), path)
+def save_index(index: Index, path: str, cfg: Config | None = None) -> None:
+    st = _index_state(index)
+    _add_meta(st, cfg)
+    _save_state(st, path)
 
 
-def save_index_async(index: Index, path: str):
+def _add_meta(st: dict, cfg: Config | None) -> None:
+    if cfg is None:
+        return
+    import json
+
+    st["meta_json"] = np.frombuffer(
+        json.dumps(index_fingerprint(cfg), default=str).encode(),
+        dtype=np.uint8,
+    )
+
+
+def save_index_async(index: Index, path: str, cfg: Config | None = None):
     """Write a freshly BUILT index in a background thread (the write
     overlaps the call phase in `run`).  Counter planes are snapshotted as
     zeros — they are zero right after build, and the call phase mutates
@@ -505,6 +518,7 @@ def save_index_async(index: Index, path: str):
     import threading
 
     st = _index_state(index)
+    _add_meta(st, cfg)
     for k in ("bf_counts", "ctx_counts", "kmap_vals"):
         if k in st:
             st[k] = np.zeros_like(st[k])
@@ -521,6 +535,11 @@ def save_index_async(index: Index, path: str):
     return t
 
 
+_INDEX_META_FIELDS = ("bf_size", "samples", "freq_key", "uniform",
+                      "haploid", "strip_chr", "fasta_path")
+_SAVED_CFG: Config | None = None  # set by save paths for fingerprinting
+
+
 def _index_state(index: Index) -> dict:
     st = {}
     for name, obj in [("bf", index.bf), ("ctx", index.context_bf)]:
@@ -529,6 +548,40 @@ def _index_state(index: Index) -> dict:
     for k, v in index.ref_bf.state().items():
         st[f"kmap_{k}"] = v
     return st
+
+
+def index_fingerprint(cfg: Config) -> dict:
+    """The config fields that change index CONTENT (beyond the k/ref_k
+    already encoded in the file name): Bloom geometry, sample subset,
+    frequency key and flags that gate which k-mers are inserted."""
+    return {f: getattr(cfg, f) for f in _INDEX_META_FIELDS}
+
+
+def index_matches_config(path: str, cfg: Config):
+    """(ok, why): whether a persisted index's fingerprint matches this
+    run's config.  Index files predating the fingerprint (or external
+    .zst imports) return ok — the caller keeps the upstream
+    name-only contract for those."""
+    import json
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            if "meta_json.npy" not in zf.namelist():
+                return True, "no fingerprint (pre-round-5 index)"
+            import io as _io
+
+            arr = np.lib.format.read_array(
+                _io.BytesIO(zf.read("meta_json.npy")), allow_pickle=False
+            )
+            meta = json.loads(bytes(arr).decode())
+    except Exception as e:  # unreadable file: let load_index report it
+        return True, f"fingerprint unreadable ({e})"
+    want = index_fingerprint(cfg)
+    for f, v in want.items():
+        if f in meta and meta[f] != v:
+            return False, f"{f}: {meta[f]!r} != {v!r}"
+    return True, "match"
 
 
 def _save_state(st: dict, path: str) -> None:
@@ -789,11 +842,13 @@ def call(cfg: Config, index: Index, out=sys.stdout, timer: PhaseTimer | None = N
     # its producer (record scan + GT parse + native extraction) never
     # reads the counter planes — only the coverage/genotyping consumer
     # does, and that consumer starts after counting below.  The bounded
-    # queue caps memory at ~depth extraction batches.
-    pass2 = _prefetch(
-        _iter_pass2_batches(cfg, refs),
-        depth=int(os.environ.get("MALVA_PASS2_PREFETCH", 32)),
-    )
+    # queue caps memory at ~depth extraction batches; in bounded-memory
+    # spill mode (kmc -m4 RAM parity is the point) the default depth
+    # shrinks so the queue stays small against the counting high-water
+    # mark.
+    pass2_depth = int(os.environ.get(
+        "MALVA_PASS2_PREFETCH", 8 if cfg.spill_dir else 32))
+    pass2 = _prefetch(_iter_pass2_batches(cfg, refs), depth=pass2_depth)
 
     if cfg.spill_dir and not (cfg.from_kmc_dump or cfg.from_kmc_db):
         # bounded-memory counting: distinct k-mers stream bucket-by-bucket

@@ -340,8 +340,8 @@ def bucket_partition(keys: np.ndarray, cnts: np.ndarray, n_buckets: int):
     to count.spill._bucket_of (see malva_bucket_partition)."""
     lib = load()
     if (lib is None or keys.ndim != 2 or keys.shape[1] > 2
-            or keys.dtype != np.uint64):
-        return None
+            or keys.dtype != np.uint64 or n_buckets < 2):
+        return None  # n_buckets==1 would need shift 64 (UB in C/C++)
     n, w = keys.shape
     shift = 64 - (int(n_buckets).bit_length() - 1)
     keys = np.ascontiguousarray(keys)

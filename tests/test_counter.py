@@ -204,3 +204,25 @@ def test_wrapped_fastq_mid_file_falls_back(tmp_path):
     got = [r for b in iter_read_batches(str(p), batch_bases=200) for r in b]
     assert got == expected
     assert b"ACGT" * 5 + b"TTTT" * 5 in got  # the wrapped read, joined
+
+
+def test_wrapped_fastq_all_chunk_alignments(tmp_path):
+    """Boundary fuzz (code-review r5 finding 1): for EVERY chunk size,
+    the fast path must never yield a read whose '+' line it has not yet
+    validated — a chunk ending right after a seq line (phase==2) used to
+    yield the first line of a wrapped record as a complete read."""
+    from malva_tpu.io.fasta import iter_read_batches, iter_sequences
+
+    p = tmp_path / "wrapped2.fq"
+    with open(p, "w") as f:
+        for i in range(12):
+            f.write(f"@r{i}\n" + "ACGT" * 3 + "\n+\n" + "I" * 12 + "\n")
+        f.write("@wrap\nAAAACCCC\nGGGGTTTT\n+\n" + "I" * 8 + "\n"
+                + "J" * 8 + "\n")
+        for i in range(6):
+            f.write(f"@s{i}\n" + "GGCC" * 3 + "\n+\n" + "I" * 12 + "\n")
+    expected = [seq for _n, seq in iter_sequences(str(p))]
+    for chunk in range(16, 420, 7):
+        got = [r for b in iter_read_batches(str(p), batch_bases=24,
+                                            chunk_bytes=chunk) for r in b]
+        assert got == expected, f"chunk_bytes={chunk}"

@@ -171,3 +171,50 @@ def test_kmc_roundtrip_counter_and_lut_sizes(tmp_path, counter_size,
     got = {bytes(a): int(c) for a, c in zip(rk, rc)}
     want = {bytes(a): int(c) for a, c in zip(kmers, counts)}
     assert got == want
+
+
+def _mini_inputs(tmp_path, pos="60", qual=".", gt="0|1"):
+    fa = tmp_path / "r.fa"
+    fa.write_text(">c\n" + "ACGT" * 30 + "\n")
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        f"c\t{pos}\t.\tA\tC\t{qual}\t.\tAF=0.5\tGT\t{gt}\n"
+    )
+    fq = tmp_path / "s.fq"
+    fq.write_text("@r\n" + "ACGT" * 30 + "\n+\n" + "I" * 120 + "\n")
+    return fa, vcf, fq
+
+
+@pytest.mark.parametrize("kw", [{"pos": "abc"}, {"qual": "junk"},
+                                {"gt": "0|x"}])
+def test_malformed_vcf_field_one_line_error(tmp_path, capsys, kw):
+    """Malformed POS/QUAL/GT values are user input, not internal bugs:
+    one ERROR line, exit 1, never a traceback (code-review r5 finding 2)."""
+    fa, vcf, fq = _mini_inputs(tmp_path, **kw)
+    rc, out, err = _run_cli(
+        ["run", "-b", "1", str(fa), str(vcf), str(fq)], capsys
+    )
+    assert rc == 1, err
+    assert len(_err_lines(err)) == 1, err
+    assert out == ""
+
+
+def test_stale_index_fingerprint_rebuilds(tmp_path, capsys):
+    """A persisted index is keyed only by (vcf, ref_k, k); a later run
+    with different index-shaping options must rebuild, not silently
+    reuse (code-review r5 finding 3)."""
+    fa, vcf, fq = _mini_inputs(tmp_path)
+    args = ["run", "-b", "1", str(fa), str(vcf), str(fq)]
+    assert cli.main(args) == 0
+    out1 = capsys.readouterr().out
+    # different -u changes frequencies -> index content
+    assert cli.main(args + ["-u"]) == 0
+    cap = capsys.readouterr()
+    assert "rebuilding" in cap.err and "reusing index" not in cap.err
+    # and same-options rerun still reuses
+    assert cli.main(args) == 0
+    cap = capsys.readouterr()
+    assert "rebuilding" in cap.err or "reusing index" in cap.err

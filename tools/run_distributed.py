@@ -73,11 +73,34 @@ def main() -> int:
     from malva_tpu.pipeline import build_index
     from malva_tpu.utils.config import Config
 
+    # initialize()'s topology cross-check runs one collective; with
+    # divergent world views that collective can itself hang (Gloo), so it
+    # gets its OWN bounded watchdog even when no --timeout was given —
+    # init + check complete in seconds on a healthy cluster.
+    import threading
+
+    init_timeout = a.timeout or float(os.environ.get(
+        "MALVA_INIT_TIMEOUT", 120.0))
+
+    def _init_die():
+        print(
+            f"ERROR: distributed init/topology check exceeded "
+            f"{init_timeout:.0f}s (mismatched process topology or "
+            f"unreachable peers); aborting", file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(1)
+
+    init_watchdog = threading.Timer(init_timeout, _init_die)
+    init_watchdog.daemon = True
+    init_watchdog.start()
     try:
         initialize(a.coordinator, a.num_processes, a.process_id)
     except Exception as e:  # mirror the CLI's one-line ERROR contract
         print(f"ERROR: distributed init failed: {e}", file=sys.stderr)
         return 1
+    finally:
+        init_watchdog.cancel()
 
     cfg = Config(
         fasta_path=a.reference,
