@@ -537,7 +537,6 @@ def save_index_async(index: Index, path: str, cfg: Config | None = None):
 
 _INDEX_META_FIELDS = ("bf_size", "samples", "freq_key", "uniform",
                       "haploid", "strip_chr", "fasta_path")
-_SAVED_CFG: Config | None = None  # set by save paths for fingerprinting
 
 
 def _index_state(index: Index) -> dict:
