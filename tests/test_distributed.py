@@ -177,7 +177,7 @@ def test_rerun_after_mid_run_kill_matches_golden(split_inputs, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_procs,spill", [(2, False), (2, True), (4, False)])
+@pytest.mark.parametrize("n_procs,spill", [(2, False), (2, True), (4, False), (4, True)])
 def test_multi_process_pipeline_matches_golden(split_inputs, n_procs, spill,
                                                tmp_path):
     out = tmp_path / f"dist{n_procs}_{int(spill)}.vcf"
