@@ -387,12 +387,23 @@ def _produce_main(argv: list[str]) -> int:
     ap.add_argument("ref_k", type=int)
     ap.add_argument("spill_dir")
     a = ap.parse_args(argv)
-    try:  # belt-and-braces: if anything touches jax, keep it off the
-        import jax  # (single-client) TPU tunnel the parent may hold
 
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    # The host counting path never needs jax, and importing it here cost
+    # ~1.8 s of child startup (it was imported only to pin the platform
+    # to cpu).  Guard the invariant instead: if a future change makes the
+    # producer touch jax, fail loudly rather than silently grabbing the
+    # (single-client) TPU tunnel the parent may hold.
+    class _NoJaxInProducer:
+        def find_spec(self, name, path=None, target=None):
+            if name == "jax" or name.startswith("jax."):
+                raise ImportError(
+                    "jax must not be imported in the spill producer child "
+                    "(it would contend for the single-client TPU tunnel); "
+                    "keep the producer path numpy/native-only"
+                )
+            return None
+
+    sys.meta_path.insert(0, _NoJaxInProducer())
     from ..utils.native import tune_malloc
 
     tune_malloc()
