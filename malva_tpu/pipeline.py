@@ -699,6 +699,8 @@ def _apply_packed_host(
     ctx_h, cen_h, cen_pk = res
     if not index.ref_bf.increment_packed(cen_pk, counts, cfg.k):
         return False
+    if native.bf_apply_hashed(index.context_bf, index.bf, ctx_h, cen_h, counts):
+        return True  # fused ctx-test + counter increment, one native pass
     ctx_known = index.context_bf.test_hashed(ctx_h)
     sel = ~ctx_known
     index.bf.increment_hashed(cen_h[sel], np.asarray(counts)[sel])

@@ -120,6 +120,11 @@ def load() -> "ctypes.CDLL | None":
             fn = getattr(lib, name)
             fn.restype = None
             fn.argtypes = [u32p, i64p, u32p, ctypes.c_int64]
+        lib.malva_bf_apply_hashed.restype = None
+        lib.malva_bf_apply_hashed.argtypes = [
+            u64p, u64p, u32p, ctypes.c_int64,
+            ctypes.c_uint64, u32p, ctypes.c_uint64, u32p, u32p, u32p,
+        ]
         lib.malva_parse_gt_batch.restype = None
         lib.malva_parse_gt_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -400,6 +405,37 @@ def scatter_add_u32(buf: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> bool:
     lib.malva_scatter_add_u32(buf.ctypes.data_as(_U32P),
                               idx.ctypes.data_as(_I64P),
                               vals.ctypes.data_as(_U32P), idx.shape[0])
+    return True
+
+
+def bf_apply_hashed(ctx_bf, bf, ctx_h: np.ndarray, cen_h: np.ndarray,
+                    counters: np.ndarray) -> bool:
+    """Fused context-filter test + alt-BF counter increment over
+    precomputed XXH3 values (the Bloom half of the packed apply path,
+    reference main.cpp:496-499).  Returns False when the native library
+    is unavailable or the filter state doesn't fit the kernel's layout
+    (caller runs the numpy two-gather path)."""
+    lib = load()
+    if lib is None or not bf.mode or bf.counts is None:
+        return False
+    if not ctx_bf.size or not bf.size:
+        return False  # modulo-by-zero guard (degenerate filters)
+    rank = bf.rank
+    if rank is None or rank.dtype != np.uint32:
+        return False
+    n = int(ctx_h.shape[0])
+    if n == 0:
+        return True
+    cnts = np.ascontiguousarray(counters, dtype=np.uint32)
+    ctx_h = np.ascontiguousarray(ctx_h, dtype=np.uint64)
+    cen_h = np.ascontiguousarray(cen_h, dtype=np.uint64)
+    lib.malva_bf_apply_hashed(
+        ctx_h.ctypes.data_as(_U64P), cen_h.ctypes.data_as(_U64P),
+        cnts.ctypes.data_as(_U32P), n,
+        ctypes.c_uint64(ctx_bf.size), ctx_bf.words.ctypes.data_as(_U32P),
+        ctypes.c_uint64(bf.size), bf.words.ctypes.data_as(_U32P),
+        rank.ctypes.data_as(_U32P), bf.counts.ctypes.data_as(_U32P),
+    )
     return True
 
 

@@ -995,6 +995,36 @@ void malva_search_u64rows(const uint64_t* sorted, int64_t m,
   }
 }
 
+// Fused Bloom half of the host apply path (reference main.cpp:496-499):
+// per distinct sample context, skip when the ref_k context is a known
+// reference context (context_bf bit set), else add the sample count to
+// the alt-BF's rank-compressed counter of the centered canonical k-mer.
+// The numpy path did this as two latency-bound fancy-index gathers into
+// GiB-scale word/rank arrays plus mask allocations (~1.5 M rows/s,
+// single thread, the dominant cost of the weights phase at WGS scale);
+// here each row stays in registers and rows run in parallel.  Counter
+// updates use an atomic add — u32 wrap is commutative, so the result is
+// bit-identical to any sequential order (counters are read mod 2^16).
+void malva_bf_apply_hashed(const uint64_t* ctx_hash, const uint64_t* cen_hash,
+                           const uint32_t* cnts, int64_t n,
+                           uint64_t ctx_size, const uint32_t* ctx_words,
+                           uint64_t bf_size, const uint32_t* bf_words,
+                           const uint32_t* bf_rank, uint32_t* bf_counts) {
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t ci = ctx_hash[i] % ctx_size;
+    if ((ctx_words[ci >> 5] >> (ci & 31)) & 1u) continue;
+    const uint64_t bi = cen_hash[i] % bf_size;
+    const uint32_t wv = bf_words[bi >> 5];
+    const uint32_t b = (uint32_t)(bi & 31);
+    if (!((wv >> b) & 1u)) continue;
+    const uint64_t cidx =
+        (uint64_t)bf_rank[bi >> 5] + __builtin_popcount(wv & ((1u << b) - 1u));
+#pragma omp atomic
+    bf_counts[cidx] += cnts[i];
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

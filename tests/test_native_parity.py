@@ -226,3 +226,47 @@ def test_sort_count_merge_parity(W):
                                                np.repeat(k2, c2, axis=0)]))
     np.testing.assert_array_equal(mk, ek)
     np.testing.assert_array_equal(mc, ec)
+
+
+@pytest.mark.parametrize("seed", [42, 7])
+def test_bf_apply_hashed_parity(seed):
+    """Fused ctx-test + alt-BF increment kernel vs the numpy two-gather
+    path (pipeline._apply_packed_host's Bloom half): identical counter
+    planes under dense hits, incl. rows skipped by the context filter
+    and rows whose Bloom bit is unset."""
+    from malva_tpu.index.bloom_filter import BF
+
+    if nat.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    size = int(rng.choice([1 << 20, 3 << 20]))
+    bf = BF(size)
+    ctx = BF(size)
+    nset = size // 8
+    keys = rng.integers(0, 1 << 62, size=nset, dtype=np.uint64)
+    idx = keys % np.uint64(size)
+    np.bitwise_or.at(
+        bf.words, (idx >> 5).astype(np.int64),
+        np.uint32(1) << (idx & np.uint64(31)).astype(np.uint32))
+    ctxk = rng.integers(0, 1 << 62, size=nset // 2, dtype=np.uint64)
+    cidx = ctxk % np.uint64(size)
+    np.bitwise_or.at(
+        ctx.words, (cidx >> 5).astype(np.int64),
+        np.uint32(1) << (cidx & np.uint64(31)).astype(np.uint32))
+    bf.switch_mode()
+    n = 100_000
+    cen_h = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    ctx_h = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    cen_h[: n // 2] = keys[rng.integers(0, nset, size=n // 2)]
+    ctx_h[: n // 4] = ctxk[rng.integers(0, nset // 2, size=n // 4)]
+    cnts = rng.integers(1, 300, size=n).astype(np.uint32)
+
+    zero = bf.counts.copy()
+    known = ctx.test_hashed(ctx_h)
+    bf.increment_hashed(cen_h[~known], cnts[~known])
+    want = bf.counts.copy()
+    assert (want != 0).any()  # the fixture must exercise real increments
+
+    bf.counts[:] = zero
+    assert nat.bf_apply_hashed(ctx, bf, ctx_h, cen_h, cnts)
+    np.testing.assert_array_equal(bf.counts, want)
